@@ -1,0 +1,487 @@
+"""Inverted-index build (SURVEY.md §2.B1–B9, §3.2; north rule BASELINE.json:14).
+
+Pipeline (all DataFrame-declared; Python boundaries are Arrow-batched):
+
+1.  latest-crawl dedup per url (reference A9 dedup-to-latest generalized:
+    `metadata_indexer.py` keep-latest-analysis ≈L850–950 [R, SURVEY.md §2.A9]).
+2.  deterministic doc-id assignment — doc_id = rank_in_bucket * P + bucket
+    with bucket = crc32(url) % P. Depends only on the url set and P, never on
+    Spark partitioning, so the index bytes are identical at local[8] and
+    local[32] (scaling-bench precondition, SURVEY.md §5.2) and the scheme
+    needs no global sort at 10^12 docs (per-bucket window only).
+3.  SPIMI per-partition posting construction via mapInPandas (BASELINE.json:6):
+    tokenize+extract vectorized, per-partition in-memory term→postings
+    grouping, emits array-valued partials (one row per term per partition —
+    shuffle row count is O(distinct terms × partitions), not O(postings)).
+4.  stats: docs (doc_id,url,dl), N, avgdl, terms (df, cf) — partial+final agg.
+5.  salted repartition-by-term merge (BASELINE.json:6): hot terms
+    (df ≥ threshold) are split by doc-range salt = doc_id // range_size
+    *before* the term shuffle, bounding per-group memory under stopword-grade
+    skew; cold terms use salt 0. Salt boundaries depend only on (N, config).
+6.  per-(term,salt) applyInPandas: merge-sort postings, chunk into blocks of
+    128, delta+varint/FOR compress, per-block max BM25 score (§2.B8).
+7.  sinks: postings partitioned by term bucket (query-time partition
+    pruning), terms/docs/metrics parquet, stats JSON; atomic manifest publish
+    (reference A15 alias swap analog).
+
+Resumable from per-partition checkpoints (north rule): stage-3 partials are
+checkpointed per build-bucket; a re-run recomputes only missing buckets
+(SURVEY.md §2.B15).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+import zlib
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import types as T
+
+from engine.analyzer import extract_series, tokenize_series
+from engine.codec import bm25_tf_norm, delta_encode, encode_best, idf
+from engine.config import IndexConfig
+from engine.publish import atomic_publish, read_manifest
+
+# Pseudo-term row carrying (doc_id, dl) pairs per build partition so doc
+# lengths ride the same SPIMI pass (empty string is never a tokenizer output).
+DOC_PSEUDO_TERM = ""
+
+PARTIALS_SCHEMA = T.StructType(
+    [
+        T.StructField("pid", T.IntegerType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("doc_ids", T.ArrayType(T.LongType())),
+        T.StructField("tfs", T.ArrayType(T.IntegerType())),
+        T.StructField("dls", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("salt", T.IntegerType()),
+        T.StructField("block_seq", T.IntegerType()),
+        T.StructField("n", T.IntegerType()),
+        T.StructField("first_doc_id", T.LongType()),
+        T.StructField("last_doc_id", T.LongType()),
+        T.StructField("max_score", T.DoubleType()),
+        T.StructField("codec_ids", T.IntegerType()),
+        T.StructField("ids_enc", T.BinaryType()),
+        T.StructField("codec_tfs", T.IntegerType()),
+        T.StructField("tfs_enc", T.BinaryType()),
+        T.StructField("codec_dls", T.IntegerType()),
+        T.StructField("dls_enc", T.BinaryType()),
+        T.StructField("bucket", T.IntegerType()),
+    ]
+)
+
+
+def latest_crawl(webpages: DataFrame) -> DataFrame:
+    """Keep only the newest crawl per url (A9: dedup-to-latest; tie-break on
+    the larger text to stay deterministic if warc_ts ties)."""
+    w = Window.partitionBy("url").orderBy(
+        F.desc("warc_ts"), F.desc(F.length("text"))
+    )
+    return (
+        webpages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def assign_doc_ids(webpages: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """Deterministic dense-ish doc ids: bucket = crc32(url) % P (same value
+    as python zlib.crc32 — replicated by the independent golden scorer),
+    doc_id = rank_in_bucket * P + bucket. Scales: only a per-bucket sort
+    (window), no global sort; documented partition-offset variant of
+    SURVEY.md §7.2.5."""
+    P = cfg.n_build_partitions
+    bucketed = webpages.withColumn(
+        "pid", (F.crc32(F.encode(F.col("url"), "utf-8")) % P).cast("int")
+    )
+    w = Window.partitionBy("pid").orderBy("url")
+    return bucketed.withColumn(
+        "doc_id",
+        ((F.row_number().over(w) - F.lit(1)).cast("long") * P + F.col("pid")),
+    )
+
+
+def _spimi_partials(cfg: IndexConfig):
+    """mapInPandas body: per-partition SPIMI posting construction (B4)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frames: list[pd.DataFrame] = []
+        doc_ids_all: list[np.ndarray] = []
+        dls_all: list[np.ndarray] = []
+        pid = -1
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["pid"].iloc[0])
+            text = extract_series(pdf["url"], pdf.get("html"), pdf["text"])
+            tokens = tokenize_series(text)
+            dls = tokens.str.len().fillna(0).to_numpy(dtype=np.int64)
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            doc_ids_all.append(doc_ids)
+            dls_all.append(dls)
+            if dls.sum() == 0:
+                continue
+            flat_terms = np.concatenate(
+                [np.asarray(t, dtype=object) for t in tokens]
+            )
+            flat_docs = np.repeat(doc_ids, dls)
+            flat_dls = np.repeat(dls, dls)
+            frames.append(
+                pd.DataFrame(
+                    {"term": flat_terms, "doc_id": flat_docs, "dl": flat_dls}
+                )
+            )
+        out_rows: dict[str, list] = {
+            "pid": [],
+            "term": [],
+            "doc_ids": [],
+            "tfs": [],
+            "dls": [],
+        }
+        if frames:
+            allf = pd.concat(frames, ignore_index=True)
+            grouped = (
+                allf.groupby(["term", "doc_id"], sort=False)
+                .agg(tf=("dl", "size"), dl=("dl", "first"))
+                .reset_index()
+            )
+            for term, g in grouped.groupby("term", sort=False):
+                out_rows["pid"].append(pid)
+                out_rows["term"].append(term)
+                out_rows["doc_ids"].append(g["doc_id"].to_numpy(np.int64).tolist())
+                out_rows["tfs"].append(g["tf"].to_numpy(np.int32).tolist())
+                out_rows["dls"].append(g["dl"].to_numpy(np.int32).tolist())
+        if doc_ids_all:
+            out_rows["pid"].append(pid)
+            out_rows["term"].append(DOC_PSEUDO_TERM)
+            out_rows["doc_ids"].append(np.concatenate(doc_ids_all).tolist())
+            dl_cat = np.concatenate(dls_all).astype(np.int32).tolist()
+            out_rows["tfs"].append(dl_cat)
+            out_rows["dls"].append(dl_cat)
+        if out_rows["pid"]:  # empty partitions yield nothing (pandas gives
+            yield pd.DataFrame(out_rows)  # empty cols float64 → Arrow error
+
+    return fn
+
+
+def _salt_split(cfg: IndexConfig, range_size: int, hot_terms: set[str] | None):
+    """Narrow map: split hot-term partials at doc-range boundaries so the
+    term shuffle is salted (B7). hot_terms=None ⇒ salt every term (used when
+    the hot set is too large to broadcast; sandbox always passes the set)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {
+                "pid": [],
+                "term": [],
+                "salt": [],
+                "df": [],
+                "doc_ids": [],
+                "tfs": [],
+                "dls": [],
+            }
+            for row in pdf.itertuples(index=False):
+                ids = np.asarray(row.doc_ids, dtype=np.int64)
+                hot = hot_terms is None or row.term in hot_terms
+                if not hot:
+                    out["pid"].append(row.pid)
+                    out["term"].append(row.term)
+                    out["salt"].append(0)
+                    out["df"].append(row.df)
+                    out["doc_ids"].append(ids.tolist())
+                    out["tfs"].append(np.asarray(row.tfs, dtype=np.int32).tolist())
+                    out["dls"].append(np.asarray(row.dls, dtype=np.int32).tolist())
+                    continue
+                salts = ids // range_size
+                order = np.argsort(salts, kind="stable")
+                ids_o = ids[order]
+                tfs_o = np.asarray(row.tfs, dtype=np.int32)[order]
+                dls_o = np.asarray(row.dls, dtype=np.int32)[order]
+                salts_o = salts[order]
+                cuts = np.flatnonzero(np.diff(salts_o)) + 1
+                for seg_ids, seg_tfs, seg_dls in zip(
+                    np.split(ids_o, cuts),
+                    np.split(tfs_o, cuts),
+                    np.split(dls_o, cuts),
+                ):
+                    out["pid"].append(row.pid)
+                    out["term"].append(row.term)
+                    out["salt"].append(int(seg_ids[0] // range_size) + 1)
+                    out["df"].append(row.df)
+                    out["doc_ids"].append(seg_ids.tolist())
+                    out["tfs"].append(seg_tfs.tolist())
+                    out["dls"].append(seg_dls.tolist())
+            if out["pid"]:
+                yield pd.DataFrame(out)
+
+    return fn
+
+
+def _merge_compress(cfg: IndexConfig, n_docs: int, avgdl: float):
+    """applyInPandas body per (term, salt): merge-sort partials, block-chunk,
+    delta+varint/FOR compress, per-block max BM25 score (B8/B13)."""
+    k1, b, bs = cfg.k1, cfg.b, cfg.block_size
+    n_buckets = cfg.n_term_buckets
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        term = pdf["term"].iloc[0]
+        salt = int(pdf["salt"].iloc[0])
+        df_t = int(pdf["df"].iloc[0])
+        ids = np.concatenate([np.asarray(a, np.int64) for a in pdf["doc_ids"]])
+        tfs = np.concatenate([np.asarray(a, np.int32) for a in pdf["tfs"]])
+        dls = np.concatenate([np.asarray(a, np.int32) for a in pdf["dls"]])
+        order = np.argsort(ids, kind="mergesort")
+        ids, tfs, dls = ids[order], tfs[order], dls[order]
+        idf_t = idf(n_docs, df_t)
+        contrib = idf_t * bm25_tf_norm(tfs, dls, k1, b, avgdl)
+        bucket = zlib.crc32(term.encode("utf-8")) % n_buckets
+        rows = {k.name: [] for k in POSTINGS_SCHEMA.fields}
+        n_blocks = math.ceil(len(ids) / bs)
+        for i in range(n_blocks):
+            lo, hi = i * bs, min((i + 1) * bs, len(ids))
+            bids, btfs, bdls = ids[lo:hi], tfs[lo:hi], dls[lo:hi]
+            ci, ebytes = encode_best(delta_encode(bids))
+            ct, tbytes = encode_best(btfs.astype(np.uint64))
+            cd, dbytes = encode_best(bdls.astype(np.uint64))
+            rows["term"].append(term)
+            rows["salt"].append(salt)
+            rows["block_seq"].append(i)
+            rows["n"].append(hi - lo)
+            rows["first_doc_id"].append(int(bids[0]))
+            rows["last_doc_id"].append(int(bids[-1]))
+            rows["max_score"].append(float(contrib[lo:hi].max()))
+            rows["codec_ids"].append(ci)
+            rows["ids_enc"].append(ebytes)
+            rows["codec_tfs"].append(ct)
+            rows["tfs_enc"].append(tbytes)
+            rows["codec_dls"].append(cd)
+            rows["dls_enc"].append(dbytes)
+            rows["bucket"].append(bucket)
+        return pd.DataFrame(rows)
+
+    return fn
+
+
+@dataclass
+class IndexHandle:
+    path: str
+    version_dir: str
+    stats: dict
+
+    @property
+    def postings_path(self) -> str:
+        return os.path.join(self.version_dir, "postings")
+
+    @property
+    def terms_path(self) -> str:
+        return os.path.join(self.version_dir, "terms")
+
+    @property
+    def docs_path(self) -> str:
+        return os.path.join(self.version_dir, "docs")
+
+    @property
+    def metrics_path(self) -> str:
+        return os.path.join(self.version_dir, "metrics")
+
+
+def open_index(path: str) -> IndexHandle:
+    manifest = read_manifest(path)
+    vdir = os.path.join(path, manifest["version"])
+    with open(os.path.join(vdir, "stats.json")) as f:
+        stats = json.load(f)
+    return IndexHandle(path=path, version_dir=vdir, stats=stats)
+
+
+def build_index(
+    spark: SparkSession,
+    webpages: DataFrame,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+    checkpoint_dir: str | None = None,
+    dedup_latest: bool = True,
+) -> IndexHandle:
+    """Full index build. See module docstring for the plan."""
+    cfg = cfg or IndexConfig()
+    t0 = time.time()
+    src = latest_crawl(webpages) if dedup_latest else webpages
+    with_ids = assign_doc_ids(src, cfg)
+
+    # doc map (small projection; html column pruned by Catalyst).
+    docmap = with_ids.select("doc_id", "url", "lang", "pid")
+
+    # --- stage: SPIMI partials (checkpointable per build bucket, B15) ------
+    input_cols = ["pid", "doc_id", "url", "text"] + (
+        ["html"] if "html" in with_ids.columns else []
+    )
+    spimi_input = with_ids.select(*input_cols).repartition(
+        cfg.n_build_partitions, "pid"
+    )
+    partials_raw = spimi_input.mapInPandas(
+        _spimi_partials(cfg), schema=PARTIALS_SCHEMA
+    )
+    if checkpoint_dir:
+        partials = _checkpointed_partials(
+            spark, partials_raw, spimi_input, checkpoint_dir, cfg
+        )
+    else:
+        partials = partials_raw
+    partials = partials.persist()
+
+    doc_rows = partials.filter(F.col("term") == DOC_PSEUDO_TERM)
+    term_partials = partials.filter(F.col("term") != DOC_PSEUDO_TERM)
+
+    # --- stage: stats (B5/B6) ----------------------------------------------
+    docs_dl = doc_rows.select(
+        F.col("pid"),
+        F.explode(F.arrays_zip("doc_ids", "tfs")).alias("z")
+    ).select(
+        "pid",
+        F.col("z.doc_ids").alias("doc_id"),
+        F.col("z.tfs").cast("int").alias("dl"),
+    )
+    docs = docmap.join(docs_dl.drop("pid"), "doc_id", "left").fillna(
+        {"dl": 0}
+    )
+    g = docs.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(g["n"]), float(g["avgdl"] or 0.0)
+
+    terms = (
+        term_partials.groupBy("term")
+        .agg(
+            F.sum(F.size("doc_ids")).alias("df"),
+            F.sum(F.aggregate("tfs", F.lit(0).cast("long"), lambda a, x: a + x)).alias("cf"),
+        )
+    ).persist()
+
+    hot_thr = cfg.hot_threshold(n_docs)
+    hot_terms = {
+        r["term"] for r in terms.filter(F.col("df") >= hot_thr).select("term").collect()
+    }
+    range_size = cfg.range_size(n_docs)
+
+    # --- stage: salted merge + compress (B7/B8) -----------------------------
+    with_df = term_partials.join(terms.select("term", "df"), "term")
+    salt_schema = T.StructType(
+        PARTIALS_SCHEMA.fields[:2]
+        + [T.StructField("salt", T.IntegerType()), T.StructField("df", T.LongType())]
+        + PARTIALS_SCHEMA.fields[2:]
+    )
+    salted = with_df.select(
+        "pid", "term", F.lit(0).alias("salt"), "df", "doc_ids", "tfs", "dls"
+    ).mapInPandas(_salt_split(cfg, range_size, hot_terms), schema=salt_schema)
+
+    postings = (
+        salted.repartition(F.col("term"), F.col("salt"))
+        .groupBy("term", "salt")
+        .applyInPandas(_merge_compress(cfg, n_docs, avgdl), schema=POSTINGS_SCHEMA)
+    )
+
+    # --- stage: per-partition lineage metrics (B15) --------------------------
+    metrics = (
+        term_partials.groupBy("pid")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum(F.size("doc_ids")).alias("n_postings"),
+            F.sum(F.aggregate("tfs", F.lit(0).cast("long"), lambda a, x: a + x)).alias("n_tokens"),
+        )
+        .join(docs.groupBy("pid").agg(F.count("*").alias("n_docs")), "pid", "full")
+    )
+
+    # --- sinks + atomic publish (B9/A15) ------------------------------------
+    def writer(vdir: str) -> dict:
+        (
+            postings.repartition(cfg.n_term_buckets, F.col("bucket"))
+            .sortWithinPartitions("bucket", "term", "salt", "block_seq")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(os.path.join(vdir, "postings"))
+        )
+        terms.withColumn("idf", F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(vdir, "terms"))
+        docs.write.mode("overwrite").parquet(os.path.join(vdir, "docs"))
+        metrics.write.mode("overwrite").parquet(os.path.join(vdir, "metrics"))
+        stats = {
+            "n_docs": n_docs,
+            "avgdl": avgdl,
+            "k1": cfg.k1,
+            "b": cfg.b,
+            "block_size": cfg.block_size,
+            "n_build_partitions": cfg.n_build_partitions,
+            "n_term_buckets": cfg.n_term_buckets,
+            "n_doc_ranges": cfg.n_doc_ranges,
+            "range_size": range_size,
+            "hot_threshold": hot_thr,
+            "build_seconds": time.time() - t0,
+        }
+        with open(os.path.join(vdir, "stats.json"), "w") as f:
+            json.dump(stats, f, indent=2)
+        return stats
+
+    version_dir, stats = atomic_publish(index_dir, writer)
+    partials.unpersist()
+    terms.unpersist()
+    return IndexHandle(path=index_dir, version_dir=version_dir, stats=stats)
+
+
+def _checkpointed_partials(
+    spark: SparkSession,
+    partials_raw: DataFrame,
+    spimi_input: DataFrame,
+    checkpoint_dir: str,
+    cfg: IndexConfig,
+) -> DataFrame:
+    """Per-partition checkpointing of the SPIMI stage (B15): partials are
+    persisted partitioned by pid; a resumed build recomputes only the pids
+    missing from the checkpoint manifest and unions them with the completed
+    ones. Task retries are safe: the manifest is committed only after the
+    whole stage's write succeeds, and per-pid directories are overwritten
+    idempotently."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    ckpt_path = os.path.join(checkpoint_dir, "partials")
+    manifest_path = os.path.join(checkpoint_dir, "_partials_manifest.json")
+    done: list[int] = []
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            done = json.load(f)["completed_pids"]
+    all_pids = list(range(cfg.n_build_partitions))
+    missing = sorted(set(all_pids) - set(done))
+    if missing:
+        todo = partials_raw
+        if done:
+            todo = (
+                spimi_input.filter(~F.col("pid").isin(done))
+                .mapInPandas(_spimi_partials(cfg), schema=PARTIALS_SCHEMA)
+            )
+        (
+            todo.write.partitionBy("pid")
+            .mode("append" if done else "overwrite")
+            .parquet(ckpt_path)
+        )
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"completed_pids": all_pids}, f)
+        os.replace(tmp, manifest_path)
+    out = spark.read.parquet(ckpt_path)
+    # partitionBy moved pid to a partition column; restore column order/types
+    return out.select(
+        F.col("pid").cast("int"), "term", "doc_ids", "tfs", "dls"
+    )

@@ -1,0 +1,150 @@
+"""Posting-block codec: delta + varint (LEB128) compression with per-block
+max-score metadata (SURVEY.md §2.B8; BASELINE.json:6 "delta-encoded
+varint/PForDelta-compressed posting blocks with per-block max-score").
+
+All codecs are numpy-vectorized (no per-element Python in the hot loop) and
+pure — unit/property-tested for encode∘decode == identity on adversarial gap
+distributions (SURVEY.md §5.2).
+
+Two codecs:
+- ``varint``: LEB128 unsigned, byte-aligned — robust default.
+- ``for``: frame-of-reference fixed-width bit-packing (PForDelta's
+  no-exceptions core): each block stores a bit width w and packs values into
+  ceil(n*w/8) bytes. Chosen per block when it beats varint.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_THRESHOLDS = [1 << (7 * i) for i in range(1, 10)]  # 2^7 .. 2^63
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, fully vectorized."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return b""
+    nbytes = np.ones(n, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += v >= t
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    idx = np.cumsum(nbytes) - nbytes  # start offset of each value
+    cur = v.copy()
+    remaining = nbytes.copy()
+    for _ in range(10):
+        mask = remaining > 0
+        if not mask.any():
+            break
+        byte = (cur[mask] & np.uint64(0x7F)).astype(np.uint8)
+        more = (remaining[mask] > 1).astype(np.uint8)
+        out[idx[mask]] = byte | (more << 7)
+        cur[mask] >>= np.uint64(7)
+        idx[mask] += 1
+        remaining[mask] -= 1
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode LEB128 bytes → uint64 array, vectorized via group scatter-add."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    grp = np.zeros(b.size, dtype=np.int64)
+    grp[1:] = np.cumsum(is_last[:-1])
+    n_vals = int(is_last.sum())
+    starts = np.flatnonzero(np.concatenate(([True], is_last[:-1])))
+    pos = np.arange(b.size, dtype=np.int64) - starts[grp]
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (
+        np.uint64(7) * pos.astype(np.uint64)
+    )
+    vals = np.zeros(n_vals, dtype=np.uint64)
+    np.add.at(vals, grp, contrib)
+    return vals
+
+
+def for_encode(values: np.ndarray) -> bytes:
+    """Frame-of-reference bit-packing: 1 header byte (width w), then values
+    packed little-endian at w bits each. w=0 ⇒ all values are zero."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return b"\x00"
+    mx = int(v.max())
+    w = max(0, mx.bit_length())
+    header = np.array([w], dtype=np.uint8)
+    if w == 0:
+        return header.tobytes()
+    # expand each value into w bits (little-endian bit order), then packbits
+    shifts = np.arange(w, dtype=np.uint64)
+    bits = ((v[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+    packed = np.packbits(bits.reshape(-1), bitorder="little")
+    return header.tobytes() + packed.tobytes()
+
+
+def for_decode(buf: bytes, n: int) -> np.ndarray:
+    b = np.frombuffer(buf, dtype=np.uint8)
+    w = int(b[0])
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if w == 0:
+        return np.zeros(n, dtype=np.uint64)
+    bits = np.unpackbits(b[1:], bitorder="little")[: n * w]
+    bits = bits.reshape(n, w).astype(np.uint64)
+    shifts = np.arange(w, dtype=np.uint64)
+    return (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+CODEC_VARINT = 0
+CODEC_FOR = 1
+
+
+def encode_best(values: np.ndarray) -> tuple[int, bytes]:
+    """Pick the smaller of varint / FOR for this block (PForDelta-style
+    adaptive choice; exceptions list omitted — FOR only wins on uniform
+    blocks, which is exactly when it needs no exceptions)."""
+    vi = varint_encode(values)
+    fo = for_encode(values)
+    if len(fo) < len(vi):
+        return CODEC_FOR, fo
+    return CODEC_VARINT, vi
+
+
+def decode(codec: int, buf: bytes, n: int) -> np.ndarray:
+    if codec == CODEC_FOR:
+        return for_decode(buf, n)
+    return varint_decode(buf)
+
+
+def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
+    """Gaps: first value kept absolute (caller stores first_doc_id too, but
+    encoding the absolute first keeps blocks self-contained)."""
+    v = np.ascontiguousarray(sorted_ids, dtype=np.uint64)
+    out = v.copy()
+    out[1:] = v[1:] - v[:-1]
+    return out
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(gaps.astype(np.uint64), dtype=np.uint64)
+
+
+def bm25_tf_norm(
+    tfs: np.ndarray, dls: np.ndarray, k1: float, b: float, avgdl: float
+) -> np.ndarray:
+    """Per-posting BM25 tf normalization (float64): tf(k1+1)/(tf + k1(1-b+b·dl/avgdl)).
+    Multiplied by idf it gives the posting's score contribution; its block max
+    is the stored block-max metadata (SURVEY.md §2.B8/B13)."""
+    tf = tfs.astype(np.float64)
+    dl = dls.astype(np.float64)
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def idf(N: int, df: np.ndarray | int) -> np.ndarray | float:
+    """Lucene BM25 idf: ln(1 + (N - df + 0.5)/(df + 0.5)) (SURVEY.md §2.B13)."""
+    dfa = np.asarray(df, dtype=np.float64)
+    out = np.log(1.0 + (N - dfa + 0.5) / (dfa + 0.5))
+    return float(out) if out.ndim == 0 else out

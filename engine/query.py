@@ -1,0 +1,296 @@
+"""BM25 top-k query engine (SURVEY.md §2.B10–B14, §3.3).
+
+Two physical strategies, rank-identical by construction (property-tested):
+
+- ``brute``: decode every posting of the query terms, explode to
+  (doc_id, contrib), groupBy(doc_id).sum → TakeOrderedAndProject. Fully
+  distributed, no pruning — the correctness baseline.
+- ``wand``: block-max WAND (BASELINE.json:6). Blocks are grouped into
+  doc-range shards (hot-term salts are doc-range-aligned by the build, so
+  most blocks land in exactly one shard); each shard runs an exact
+  interval-sweep BMW — intervals between block boundaries are processed in
+  descending upper-bound order, stopping when the next interval's bound
+  can't beat the shard's kth score. Only provably-dominated blocks are
+  skipped, so results are rank-identical to brute force (§2.B14 exactness
+  guard). Local top-k per shard, then a global TakeOrdered over ≤ shards·k
+  rows.
+
+Both paths prune the postings scan to the query terms' hash buckets
+(partition pruning on the `bucket=` directory column) and push `term IN`
+down to parquet row groups (rows are term-sorted within buckets).
+
+Term stats (df/idf) are broadcast to executors (B11) — they ride the
+mapInPandas closure after a driver-side lookup of ≤|query| rows.
+"""
+
+from __future__ import annotations
+
+import heapq
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from engine.analyzer import tokenize
+from engine.build import IndexHandle, open_index
+from engine.codec import bm25_tf_norm, decode, delta_decode, idf
+
+SCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("contrib", T.DoubleType()),
+    ]
+)
+
+TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("n_terms", T.IntegerType()),
+    ]
+)
+
+
+def parse_query(query: str) -> list[str]:
+    """B10: same analyzer as the build path; duplicate terms collapse (their
+    contribution is per unique term, matching Lucene's boolean-sum)."""
+    seen: dict[str, None] = {}
+    for t in tokenize(query):
+        seen.setdefault(t)
+    return list(seen)
+
+
+def _pruned_postings(
+    spark: SparkSession, handle: IndexHandle, terms: list[str]
+) -> DataFrame:
+    buckets = sorted(
+        {zlib.crc32(t.encode("utf-8")) % handle.stats["n_term_buckets"] for t in terms}
+    )
+    return (
+        spark.read.parquet(handle.postings_path)
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+
+
+def term_stats(spark: SparkSession, handle: IndexHandle, terms: list[str]) -> dict:
+    """B11: driver-side lookup of the ≤|query| term rows; result is shipped
+    to executors in the scoring closure (broadcast of a tiny dict)."""
+    rows = (
+        spark.read.parquet(handle.terms_path)
+        .filter(F.col("term").isin(terms))
+        .select("term", "df", "cf")
+        .collect()
+    )
+    n = handle.stats["n_docs"]
+    return {
+        r["term"]: {"df": int(r["df"]), "cf": int(r["cf"]), "idf": idf(n, int(r["df"]))}
+        for r in rows
+    }
+
+
+def _decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    ids = delta_decode(decode(row.codec_ids, row.ids_enc, row.n)).astype(np.int64)
+    tfs = decode(row.codec_tfs, row.tfs_enc, row.n).astype(np.int64)
+    dls = decode(row.codec_dls, row.dls_enc, row.n).astype(np.int64)
+    return ids, tfs, dls
+
+
+def _brute_scorer(stats: dict, k1: float, b: float, avgdl: float):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_out: list[np.ndarray] = []
+            contrib_out: list[np.ndarray] = []
+            for row in pdf.itertuples(index=False):
+                ids, tfs, dls = _decode_block(row)
+                idf_t = stats[row.term]["idf"]
+                ids_out.append(ids)
+                contrib_out.append(idf_t * bm25_tf_norm(tfs, dls, k1, b, avgdl))
+            if not ids_out:
+                yield pd.DataFrame({"doc_id": [], "contrib": []}).astype(
+                    {"doc_id": np.int64, "contrib": np.float64}
+                )
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids_out),
+                    "contrib": np.concatenate(contrib_out),
+                }
+            )
+
+    return fn
+
+
+def _wand_shard_scorer(stats: dict, k1: float, b: float, avgdl: float, k: int,
+                       conjunctive: bool, n_query_terms: int):
+    """Exact interval-sweep block-max WAND over one doc-range shard."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = list(pdf.itertuples(index=False))
+        terms = sorted({r.term for r in rows})
+        if conjunctive and len(terms) < n_query_terms:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype=np.int64),
+                 "score": pd.Series(dtype=np.float64),
+                 "n_terms": pd.Series(dtype=np.int32)}
+            )
+        # per-term block tables sorted by first_doc_id
+        per_term: dict[str, list] = {t: [] for t in terms}
+        for r in rows:
+            per_term[r.term].append(r)
+        for t in terms:
+            per_term[t].sort(key=lambda r: r.first_doc_id)
+        # interval boundaries = all block edges
+        edges = sorted(
+            {r.first_doc_id for r in rows} | {r.last_doc_id + 1 for r in rows}
+        )
+        n_int = len(edges) - 1
+        lo = np.asarray(edges[:-1], dtype=np.int64)
+        hi = np.asarray(edges[1:], dtype=np.int64)  # exclusive
+        # UB per interval: sum over terms of covering block's max_score
+        ub = np.zeros(n_int, dtype=np.float64)
+        covered = np.zeros(n_int, dtype=np.int32)
+        cover: dict[str, np.ndarray] = {}
+        for t in terms:
+            blocks = per_term[t]
+            firsts = np.asarray([b_.first_doc_id for b_ in blocks], np.int64)
+            lasts = np.asarray([b_.last_doc_id for b_ in blocks], np.int64)
+            maxes = np.asarray([b_.max_score for b_ in blocks], np.float64)
+            # block index covering each interval start (blocks disjoint sorted)
+            bi = np.searchsorted(firsts, lo, side="right") - 1
+            ok = (bi >= 0) & (lo <= np.where(bi >= 0, lasts[np.maximum(bi, 0)], -1))
+            ub += np.where(ok, maxes[np.maximum(bi, 0)], 0.0)
+            covered += ok.astype(np.int32)
+            cover[t] = np.where(ok, bi, -1)
+        if conjunctive:
+            valid = covered == len(terms)
+            ub = np.where(valid, ub, 0.0)
+        order = np.argsort(-ub, kind="stable")
+        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+        results: dict[int, tuple[float, int]] = {}
+        decoded: dict[tuple[str, int], tuple] = {}
+        for ii in order:
+            if ub[ii] <= 0:
+                break
+            if len(heap) >= k and ub[ii] < heap[0][0]:
+                break  # every remaining interval is provably dominated
+            accum: dict[int, tuple[float, int]] = {}
+            for t in terms:
+                bi = int(cover[t][ii])
+                if bi < 0:
+                    continue
+                key = (t, bi)
+                if key not in decoded:
+                    decoded[key] = _decode_block(per_term[t][bi])
+                ids, tfs, dls = decoded[key]
+                sel = (ids >= lo[ii]) & (ids < hi[ii])
+                if not sel.any():
+                    continue
+                c = stats[t]["idf"] * bm25_tf_norm(
+                    tfs[sel], dls[sel], k1, b, avgdl
+                )
+                for d, s in zip(ids[sel], c):
+                    d = int(d)
+                    cur = accum.get(d, (0.0, 0))
+                    accum[d] = (cur[0] + float(s), cur[1] + 1)
+            for d, (s, nt) in accum.items():
+                if conjunctive and nt < n_query_terms:
+                    continue
+                if d in results:
+                    continue
+                results[d] = (s, nt)
+                item = (s, -d)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+        top = sorted(((s, -nd) for s, nd in heap), key=lambda x: (-x[0], x[1]))
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray([d for _, d in top], dtype=np.int64),
+                "score": np.asarray([s for s, _ in top], dtype=np.float64),
+                "n_terms": np.asarray(
+                    [results[d][1] for _, d in top], dtype=np.int32
+                ),
+            }
+        )
+
+    return fn
+
+
+def query_topk(
+    spark: SparkSession,
+    index: IndexHandle | str,
+    query: str,
+    k: int = 10,
+    mode: str = "wand",
+    conjunctive: bool = False,
+    with_url: bool = True,
+) -> DataFrame:
+    """Top-k BM25. Returns (doc_id, url?, score) ordered by
+    (score desc, doc_id asc) — the golden tie-break (SURVEY.md §5.2)."""
+    handle = open_index(index) if isinstance(index, str) else index
+    terms = parse_query(query)
+    st = term_stats(spark, handle, terms)
+    terms = [t for t in terms if t in st]  # zero-hit terms drop out
+    empty = spark.createDataFrame(
+        [],
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("url", T.StringType()),
+                T.StructField("score", T.DoubleType()),
+            ]
+        ),
+    )
+    if not terms or (conjunctive and len(terms) < len(parse_query(query))):
+        return empty.drop(*([] if with_url else ["url"]))
+    k1, b = handle.stats["k1"], handle.stats["b"]
+    avgdl, n_docs = handle.stats["avgdl"], handle.stats["n_docs"]
+    blocks = _pruned_postings(spark, handle, terms)
+
+    if mode == "brute":
+        scored = blocks.mapInPandas(_brute_scorer(st, k1, b, avgdl), SCORE_SCHEMA)
+        agg = scored.groupBy("doc_id").agg(
+            F.sum("contrib").alias("score"), F.count("*").alias("nt")
+        )
+        if conjunctive:
+            agg = agg.filter(F.col("nt") == len(terms))
+        topk = agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    elif mode == "wand":
+        range_size = handle.stats["range_size"]
+        # a block overlapping multiple doc-range shards is replicated to each
+        shard = blocks.withColumn(
+            "shard",
+            F.explode(
+                F.sequence(
+                    (F.col("first_doc_id") / range_size).cast("long"),
+                    (F.col("last_doc_id") / range_size).cast("long"),
+                )
+            ),
+        )
+        local = shard.groupBy("shard").applyInPandas(
+            _wand_shard_scorer(st, k1, b, avgdl, k, conjunctive, len(terms)),
+            TOPK_SCHEMA,
+        )
+        topk = (
+            local.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "score")
+        )
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    topk = topk.select("doc_id", F.col("score").cast("double"))
+    if with_url:
+        docs = spark.read.parquet(handle.docs_path).select("doc_id", "url")
+        topk = (
+            docs.join(F.broadcast(topk), "doc_id")
+            .select("doc_id", "url", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+    return topk
