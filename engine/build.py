@@ -118,32 +118,42 @@ def _spimi_partials(cfg: IndexConfig):
     """mapInPandas body: per-partition SPIMI posting construction (B4)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        frames: list[pd.DataFrame] = []
-        doc_ids_all: list[np.ndarray] = []
-        dls_all: list[np.ndarray] = []
-        pid = -1
+        # A Spark partition can hold several build pids (hash distribution is
+        # not bijective) — accumulate per pid so partials/metrics/checkpoints
+        # are labeled correctly.
+        frames: dict[int, list[pd.DataFrame]] = {}
+        doc_ids_all: dict[int, list[np.ndarray]] = {}
+        dls_all: dict[int, list[np.ndarray]] = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            pid = int(pdf["pid"].iloc[0])
             text = extract_series(pdf["url"], pdf.get("html"), pdf["text"])
             tokens = tokenize_series(text)
             dls = tokens.str.len().fillna(0).to_numpy(dtype=np.int64)
             doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            doc_ids_all.append(doc_ids)
-            dls_all.append(dls)
-            if dls.sum() == 0:
-                continue
+            pids = pdf["pid"].to_numpy(dtype=np.int64)
             flat_terms = np.concatenate(
                 [np.asarray(t, dtype=object) for t in tokens]
-            )
+            ) if dls.sum() else np.empty(0, dtype=object)
             flat_docs = np.repeat(doc_ids, dls)
+            flat_pids = np.repeat(pids, dls)
             flat_dls = np.repeat(dls, dls)
-            frames.append(
-                pd.DataFrame(
-                    {"term": flat_terms, "doc_id": flat_docs, "dl": flat_dls}
-                )
-            )
+            for pid in np.unique(pids):
+                pid = int(pid)
+                sel_doc = pids == pid
+                doc_ids_all.setdefault(pid, []).append(doc_ids[sel_doc])
+                dls_all.setdefault(pid, []).append(dls[sel_doc])
+                sel = flat_pids == pid
+                if sel.any():
+                    frames.setdefault(pid, []).append(
+                        pd.DataFrame(
+                            {
+                                "term": flat_terms[sel],
+                                "doc_id": flat_docs[sel],
+                                "dl": flat_dls[sel],
+                            }
+                        )
+                    )
         out_rows: dict[str, list] = {
             "pid": [],
             "term": [],
@@ -151,8 +161,8 @@ def _spimi_partials(cfg: IndexConfig):
             "tfs": [],
             "dls": [],
         }
-        if frames:
-            allf = pd.concat(frames, ignore_index=True)
+        for pid, fl in frames.items():
+            allf = pd.concat(fl, ignore_index=True)
             grouped = (
                 allf.groupby(["term", "doc_id"], sort=False)
                 .agg(tf=("dl", "size"), dl=("dl", "first"))
@@ -164,11 +174,11 @@ def _spimi_partials(cfg: IndexConfig):
                 out_rows["doc_ids"].append(g["doc_id"].to_numpy(np.int64).tolist())
                 out_rows["tfs"].append(g["tf"].to_numpy(np.int32).tolist())
                 out_rows["dls"].append(g["dl"].to_numpy(np.int32).tolist())
-        if doc_ids_all:
+        for pid, ids in doc_ids_all.items():
             out_rows["pid"].append(pid)
             out_rows["term"].append(DOC_PSEUDO_TERM)
-            out_rows["doc_ids"].append(np.concatenate(doc_ids_all).tolist())
-            dl_cat = np.concatenate(dls_all).astype(np.int32).tolist()
+            out_rows["doc_ids"].append(np.concatenate(ids).tolist())
+            dl_cat = np.concatenate(dls_all[pid]).astype(np.int32).tolist()
             out_rows["tfs"].append(dl_cat)
             out_rows["dls"].append(dl_cat)
         if out_rows["pid"]:  # empty partitions yield nothing (pandas gives

@@ -1,0 +1,93 @@
+"""Codec unit + property tests (SURVEY.md §5.2: roundtrip identity on
+adversarial gap distributions)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from engine.codec import (
+    bm25_tf_norm,
+    decode,
+    delta_decode,
+    delta_encode,
+    encode_best,
+    for_decode,
+    for_encode,
+    idf,
+    varint_decode,
+    varint_encode,
+)
+
+
+def test_varint_roundtrip_basics():
+    for arr in (
+        [],
+        [0],
+        [1],
+        [127],
+        [128],
+        [2**32],
+        [2**63 - 1],
+        [0, 0, 0],
+        list(range(1000)),
+    ):
+        a = np.asarray(arr, dtype=np.uint64)
+        assert (varint_decode(varint_encode(a)) == a).all()
+
+
+def test_for_roundtrip_basics():
+    for arr in ([], [0], [1], [7, 7, 7], list(range(129)), [2**40, 3]):
+        a = np.asarray(arr, dtype=np.uint64)
+        assert (for_decode(for_encode(a), len(a)) == a).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**63 - 1), min_size=0, max_size=300
+    )
+)
+def test_varint_roundtrip_property(vals):
+    a = np.asarray(vals, dtype=np.uint64)
+    assert (varint_decode(varint_encode(a)) == a).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**63 - 1), min_size=0, max_size=300
+    )
+)
+def test_best_codec_roundtrip_property(vals):
+    a = np.asarray(vals, dtype=np.uint64)
+    codec, buf = encode_best(a)
+    assert (decode(codec, buf, len(a)) == a).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**40), min_size=1, max_size=200, unique=True
+    )
+)
+def test_delta_roundtrip_property(ids):
+    a = np.sort(np.asarray(ids, dtype=np.uint64))
+    assert (delta_decode(delta_encode(a)) == a).all()
+
+
+def test_block_max_is_upper_bound():
+    rng = np.random.default_rng(7)
+    tfs = rng.integers(1, 30, size=500)
+    dls = rng.integers(10, 100, size=500)
+    contrib = 2.0 * bm25_tf_norm(tfs, dls, 1.2, 0.75, 55.0)
+    for lo in range(0, 500, 128):
+        blk = contrib[lo : lo + 128]
+        assert blk.max() >= blk.all()  # sanity
+        assert (blk <= blk.max() + 1e-12).all()
+
+
+def test_idf_matches_lucene_formula():
+    assert abs(idf(500, 250) - np.log(1 + (500 - 250 + 0.5) / 250.5)) < 1e-12
+    assert idf(500, 500) > 0  # never negative (Lucene BM25 property)
