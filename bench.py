@@ -1,0 +1,138 @@
+"""Benchmark harness (driver contract + SURVEY.md §6 / M6).
+
+Runs the headline workload at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]:
+
+- full inverted-index build over the webpages corpus (throughput docs/sec),
+- BM25 top-10 query latencies over the reference query set (p50, warm),
+  both the distributed WAND path and the brute path,
+- two relational headliners (TPC-H Q1, fact-fact join) for breadth.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total headline seconds>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., plus detail fields
+   (build_docs_per_sec, query_p50_ms, index_content_hash, ...)}.
+
+Scaling protocol (BASELINE.md): scripts/bench_scaling.py runs this file at
+SPARK_GRAFT_CPUS=8 and 32 on the same input and reports efficiency
+= (docs/sec@32) / (4 × docs/sec@8), plus index content-hash equality.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+QUERIES = [
+    "spark",
+    "the",
+    "spark join",
+    "window agg",
+    "the data",
+    "vector the",
+    "sort merge join",
+    "big data table",
+    "group order sort window",
+    "fast slow",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    reps = int(os.environ.get("BENCH_QUERY_REPS", "3"))
+
+    from engine.build import build_index
+    from engine.config import IndexConfig
+    from engine.query import query_topk
+    from engine.session import get_spark
+    from engine.webpages import load_webpages
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=max(8, cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # n_build_partitions fixed (decoupled from cpus) so the index bytes are
+    # identical across parallelism levels — the scaling-bench precondition.
+    cfg = IndexConfig(
+        n_build_partitions=32, n_doc_ranges=32, min_hot_df=256, n_term_buckets=16
+    )
+
+    wp = load_webpages(spark, sf_dir).persist()
+    n_input = wp.count()  # materialize input outside the timed build
+
+    t0 = time.time()
+    handle = build_index(spark, wp, tempfile.mkdtemp(prefix="bench_idx_"), cfg)
+    build_sec = time.time() - t0
+    n_docs = handle.stats["n_docs"]
+
+    import pyspark.sql.functions as F
+
+    posts = spark.read.parquet(handle.postings_path)
+    content_hash = (
+        posts.select(
+            F.xxhash64(
+                "term", "salt", "block_seq", "n", "first_doc_id",
+                "last_doc_id", "ids_enc", "tfs_enc", "dls_enc"
+            ).alias("h")
+        )
+        .agg(F.expr("bit_xor(h)").alias("x"))
+        .collect()[0]["x"]
+    )
+    index_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(handle.postings_path)
+        for f in fs
+    )
+
+    timings: dict[str, float] = {"build_index": round(build_sec, 3)}
+    lat_wand, lat_brute = [], []
+    # warm-up once (JIT/broadcast path)
+    query_topk(spark, handle, "spark", k=10, mode="wand").collect()
+    for q in QUERIES:
+        per = []
+        for _ in range(reps):
+            t1 = time.time()
+            query_topk(spark, handle, q, k=10, mode="wand").collect()
+            per.append(time.time() - t1)
+        lat_wand.extend(per)
+        timings[f"q_wand:{q}"] = round(min(per), 4)
+        t1 = time.time()
+        query_topk(spark, handle, q, k=10, mode="brute").collect()
+        lat_brute.append(time.time() - t1)
+
+    # relational headliners for breadth
+    from engine.relops import QUERIES as RELQ
+
+    for name in ("agg_tpch_q1", "join_smj_fact"):
+        t1 = time.time()
+        RELQ[name](spark, sf_dir).collect()
+        timings[name] = round(time.time() - t1, 3)
+
+    total = build_sec + sum(lat_wand) + sum(lat_brute)
+    out = {
+        "metric": "index-build + BM25 top-10 headline workload",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "n_input_rows": n_input,
+        "build_sec": round(build_sec, 3),
+        "build_docs_per_sec": round(n_docs / build_sec, 2),
+        "query_p50_ms_wand": round(1000 * statistics.median(lat_wand), 2),
+        "query_p50_ms_brute": round(1000 * statistics.median(lat_brute), 2),
+        "index_content_hash": content_hash,
+        "postings_bytes": index_bytes,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -230,9 +230,12 @@ def query_topk(
     mode: str = "wand",
     conjunctive: bool = False,
     with_url: bool = True,
+    tiebreak: str = "doc_id",
 ) -> DataFrame:
     """Top-k BM25. Returns (doc_id, url?, score) ordered by
-    (score desc, doc_id asc) — the golden tie-break (SURVEY.md §5.2)."""
+    (score desc, doc_id asc) — the golden tie-break (SURVEY.md §5.2).
+    tiebreak="url" (brute mode only) breaks exact-score ties by url instead,
+    which is what the ANSI-SQL oracle can express."""
     handle = open_index(index) if isinstance(index, str) else index
     terms = parse_query(query)
     st = term_stats(spark, handle, terms)
@@ -260,6 +263,14 @@ def query_topk(
         )
         if conjunctive:
             agg = agg.filter(F.col("nt") == len(terms))
+        if tiebreak == "url":
+            docs = spark.read.parquet(handle.docs_path).select("doc_id", "url")
+            agg = agg.join(docs, "doc_id")
+            topk = agg.orderBy(F.desc("score"), F.asc("url")).limit(k)
+            return topk.select(
+                *(["doc_id", "url"] if with_url else ["doc_id"]),
+                F.col("score").cast("double"),
+            ).orderBy(F.desc("score"), F.asc("url"))
         topk = agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     elif mode == "wand":
         range_size = handle.stats["range_size"]

@@ -1,0 +1,212 @@
+"""Search-layer driver entries: the flagship inverted-index/BM25 capability
+exposed as oracle-checked queries (SURVEY.md §2.B → driver contract).
+
+Each entry builds (once per sf_dir, cached in-process) the full index over
+webpages derived from `documents` (FIXTURES.md §1.1), then answers from the
+index tables — so the DuckDB oracle checks the *entire* pipeline: extract →
+tokenize → doc-id → SPIMI → salted merge → compression → stats → scoring.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+
+from engine.build import IndexHandle, build_index
+from engine.config import IndexConfig
+from engine.query import query_topk
+from engine.relops import register
+from engine.webpages import load_webpages
+
+_INDEX_CACHE: dict[str, IndexHandle] = {}
+
+CFG = IndexConfig(
+    n_build_partitions=8, n_doc_ranges=8, min_hot_df=50, n_term_buckets=8
+)
+
+
+def get_index(spark: SparkSession, sf_dir: str) -> IndexHandle:
+    if sf_dir not in _INDEX_CACHE:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        wp = load_webpages(spark, sf_dir)
+        _INDEX_CACHE[sf_dir] = build_index(
+            spark, wp, tempfile.mkdtemp(prefix="drv_idx_"), CFG
+        )
+    return _INDEX_CACHE[sf_dir]
+
+
+# SQL mirror of the analyzer for the fixture corpus (space-separated ascii
+# vocab ⇒ split == unicode word segmentation) + Lucene BM25 (SURVEY.md §2.B13)
+def _bm25_sql(terms: list[str], k: int = 10, conjunctive: bool = False) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    having = f"HAVING count(*) = {len(terms)}" if conjunctive else ""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+       WHERE term IN ({tlist}) GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id {having})
+SELECT concat('https://', d.source, '.example.com/doc/',
+              CAST(d.doc_id AS VARCHAR)) AS url,
+       round(s.score, 4) AS score
+FROM scores s JOIN documents d USING (doc_id)
+ORDER BY s.score DESC, url LIMIT {k}
+"""
+
+
+def _bm25_entry(name: str, query: str, conjunctive: bool = False):
+    terms = query.split()
+
+    @register(name, _bm25_sql(terms, 10, conjunctive))
+    def run(spark, sf_dir, _q=query, _c=conjunctive):
+        h = get_index(spark, sf_dir)
+        out = query_topk(
+            spark, h, _q, k=10, mode="brute", conjunctive=_c,
+            with_url=True, tiebreak="url",
+        )
+        return out.select("url", F.round("score", 4).alias("score"))
+
+    return run
+
+
+bm25_topk_disjunctive = _bm25_entry("bm25_topk_disjunctive", "spark join")
+bm25_topk_stopword = _bm25_entry("bm25_topk_stopword", "the data")
+bm25_topk_single = _bm25_entry("bm25_topk_single", "vector")
+bm25_conjunctive = _bm25_entry("bm25_conjunctive", "window agg", conjunctive=True)
+
+
+@register(
+    "index_term_stats",
+    """SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM (
+         SELECT doc_id, term, count(*)::BIGINT AS tf
+         FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+               FROM documents)
+         GROUP BY doc_id, term)
+       GROUP BY term""",
+)
+def index_term_stats(spark, sf_dir):
+    """The index's term dictionary (df/cf) vs SQL recomputation — verifies
+    tokenize + SPIMI + distributed stats agg end-to-end (B5/B6)."""
+    h = get_index(spark, sf_dir)
+    return spark.read.parquet(h.terms_path).select("term", "df", "cf")
+
+
+@register(
+    "index_doc_lengths",
+    """SELECT concat('https://', source, '.example.com/doc/',
+                     CAST(doc_id AS VARCHAR)) AS url,
+              len(string_split(text, ' '))::INT AS dl
+       FROM documents""",
+)
+def index_doc_lengths(spark, sf_dir):
+    h = get_index(spark, sf_dir)
+    return spark.read.parquet(h.docs_path).select(
+        "url", F.col("dl").cast("int").alias("dl")
+    )
+
+
+@register(
+    "index_postings_blocks",
+    """WITH tf AS (
+         SELECT doc_id, term, count(*)::BIGINT AS tf
+         FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+               FROM documents)
+         GROUP BY doc_id, term)
+       SELECT term, count(*)::BIGINT AS n_postings, sum(tf)::BIGINT AS sum_tf
+       FROM tf GROUP BY term""",
+)
+def index_postings_blocks(spark, sf_dir):
+    """Decompressed postings must reproduce exact per-term posting counts and
+    tf sums — verifies the delta/varint/FOR block codec at rest (B8)."""
+    import pandas as pd
+
+    from engine.build import POSTINGS_SCHEMA  # noqa: F401
+    from engine.codec import decode
+
+    h = get_index(spark, sf_dir)
+    posts = spark.read.parquet(h.postings_path)
+
+    def dec(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            terms, ns, tfs = [], [], []
+            for row in pdf.itertuples(index=False):
+                tf = decode(row.codec_tfs, row.tfs_enc, row.n)
+                terms.append(row.term)
+                ns.append(int(row.n))
+                tfs.append(int(tf.sum()))
+            yield pd.DataFrame({"term": terms, "n": ns, "sum_tf": tfs})
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("term", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("sum_tf", T.LongType()),
+        ]
+    )
+    return (
+        posts.mapInPandas(dec, schema)
+        .groupBy("term")
+        .agg(F.sum("n").alias("n_postings"), F.sum("sum_tf").alias("sum_tf"))
+    )
+
+
+@register(
+    "facets_lang",
+    "SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang",
+)
+def facets_lang(spark, sf_dir):
+    # B16: the dashboard's terms-aggregation facets, from the index docs table
+    h = get_index(spark, sf_dir)
+    return (
+        spark.read.parquet(h.docs_path)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "latest_crawl_dedup",
+    """WITH recrawl AS (
+         SELECT concat('https://', source, '.example.com/doc/',
+                       CAST(doc_id AS VARCHAR)) AS url,
+                TIMESTAMP '2024-01-01 00:00:00'
+                    + to_seconds(doc_id * 60) AS warc_ts,
+                text
+         FROM documents
+         UNION ALL
+         SELECT concat('https://', source, '.example.com/doc/',
+                       CAST(doc_id AS VARCHAR)),
+                TIMESTAMP '2024-01-01 00:00:00'
+                    + to_seconds(doc_id * 60) + INTERVAL 1 DAY,
+                text || ' dup'
+         FROM documents WHERE doc_id % 10 = 0)
+       SELECT url, md5(text) AS text_fp
+       FROM (SELECT url, text,
+                    row_number() OVER (PARTITION BY url
+                                       ORDER BY warc_ts DESC) AS rn
+             FROM recrawl)
+       WHERE rn = 1""",
+)
+def latest_crawl_dedup(spark, sf_dir):
+    """A9 [R] dedup-to-latest over the recrawl fixture: keeps exactly the
+    newer crawl per url (FIXTURES.md §1.1)."""
+    from engine.build import latest_crawl
+    from engine.webpages import with_recrawl
+
+    wp = with_recrawl(load_webpages(spark, sf_dir))
+    return latest_crawl(wp).select("url", F.md5("text").alias("text_fp"))

