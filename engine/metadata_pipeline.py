@@ -234,7 +234,7 @@ def to_es_bulk(donors: DataFrame, doc_type: str = "meta") -> DataFrame:
     elasticsearch.jsonl)."""
     action = F.concat(
         F.lit('{"index":{"_id":"'),
-        F.col("donor_uuid"),
+        F.coalesce(F.col("donor_uuid"), F.lit("")),
         F.lit(f'","_type":"{doc_type}"}}}}'),
     )
     doc = F.to_json(F.struct(*donors.columns))

@@ -147,7 +147,7 @@ def test_flatten_filebrowser(bundles):
 
 
 def test_es_bulk_emission(bundles):
-    docs = build_donor_documents(dedup_latest(bundles))
+    docs, _ = validate_split(build_donor_documents(dedup_latest(bundles)))
     lines = [r["line"] for r in to_es_bulk(docs).collect()]
     assert len(lines) == 2 * docs.count()
     action = json.loads(lines[0])
