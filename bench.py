@@ -91,9 +91,10 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {"build_index": round(build_sec, 3)}
-    lat_wand, lat_brute = [], []
+    lat_wand, lat_brute, lat_local = [], [], []
     # warm-up once (JIT/broadcast path)
     query_topk(spark, handle, "spark", k=10, mode="wand").collect()
+    query_topk(spark, handle, "spark", k=10, mode="local").collect()
     for q in QUERIES:
         per = []
         for _ in range(reps):
@@ -105,6 +106,13 @@ def main() -> None:
         t1 = time.time()
         query_topk(spark, handle, q, k=10, mode="brute").collect()
         lat_brute.append(time.time() - t1)
+        per = []
+        for _ in range(reps):
+            t1 = time.time()
+            query_topk(spark, handle, q, k=10, mode="local").collect()
+            per.append(time.time() - t1)
+        lat_local.extend(per)
+        timings[f"q_local:{q}"] = round(min(per), 4)
 
     # relational headliners for breadth
     from engine.relops import QUERIES as RELQ
@@ -114,7 +122,7 @@ def main() -> None:
         RELQ[name](spark, sf_dir).collect()
         timings[name] = round(time.time() - t1, 3)
 
-    total = build_sec + sum(lat_wand) + sum(lat_brute)
+    total = build_sec + sum(lat_wand) + sum(lat_brute) + sum(lat_local)
     out = {
         "metric": "index-build + BM25 top-10 headline workload",
         "value": round(total, 3),
@@ -128,6 +136,7 @@ def main() -> None:
         "build_docs_per_sec": round(n_docs / build_sec, 2),
         "query_p50_ms_wand": round(1000 * statistics.median(lat_wand), 2),
         "query_p50_ms_brute": round(1000 * statistics.median(lat_brute), 2),
+        "query_p50_ms_local": round(1000 * statistics.median(lat_local), 2),
         "index_content_hash": content_hash,
         "postings_bytes": index_bytes,
     }

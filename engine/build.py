@@ -61,6 +61,9 @@ PARTIALS_SCHEMA = T.StructType(
         T.StructField("doc_ids", T.ArrayType(T.LongType())),
         T.StructField("tfs", T.ArrayType(T.IntegerType())),
         T.StructField("dls", T.ArrayType(T.IntegerType())),
+        # docmap payload, set only on the pseudo row (term = "")
+        T.StructField("urls", T.ArrayType(T.StringType())),
+        T.StructField("langs", T.ArrayType(T.StringType())),
     ]
 )
 
@@ -114,35 +117,74 @@ def assign_doc_ids(webpages: DataFrame, cfg: IndexConfig) -> DataFrame:
     )
 
 
-def _spimi_partials(cfg: IndexConfig):
-    """mapInPandas body: per-partition SPIMI posting construction (B4)."""
+def _fused_spimi(cfg: IndexConfig, dedup: bool):
+    """mapInPandas body fusing three stages into the single corpus shuffle
+    (repartition by pid + sortWithinPartitions(url, warc_ts desc)):
+
+    1. latest-crawl dedup per url (A9) — rows arrive url-sorted with the
+       newest crawl first, so dedup = keep first row per url;
+    2. deterministic doc-id assignment — doc_id = rank_in_pid * P + pid,
+       rank = position of the url among the pid's deduped sorted urls
+       (pure function of the url set + P: identical at any parallelism);
+    3. SPIMI per-partition posting construction (B4), vectorized.
+
+    A Spark partition can hold several pids (hash distribution is not
+    bijective) — all state is per pid. The pseudo row (term="") carries the
+    docmap (doc_id, dl, url, lang) so stats need no extra corpus pass.
+    """
+    P = cfg.n_build_partitions
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # A Spark partition can hold several build pids (hash distribution is
-        # not bijective) — accumulate per pid so partials/metrics/checkpoints
-        # are labeled correctly.
         frames: dict[int, list[pd.DataFrame]] = {}
         doc_ids_all: dict[int, list[np.ndarray]] = {}
         dls_all: dict[int, list[np.ndarray]] = {}
+        urls_all: dict[int, list[np.ndarray]] = {}
+        langs_all: dict[int, list[np.ndarray]] = {}
+        rank_ctr: dict[int, int] = {}
+        last_url: str | None = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            if dedup:
+                urls = pdf["url"]
+                keep = urls.ne(urls.shift(1))
+                keep.iloc[0] = urls.iloc[0] != last_url
+                last_url = urls.iloc[-1]
+                if not keep.all():
+                    pdf = pdf[keep.to_numpy()]
+                    if len(pdf) == 0:
+                        continue
+            pids = pdf["pid"].to_numpy(dtype=np.int64)
+            # per-pid rank with cross-batch carry
+            ranks = pd.Series(pids).groupby(pids).cumcount().to_numpy(np.int64)
+            for pid in np.unique(pids):
+                pid = int(pid)
+                sel = pids == pid
+                ranks[sel] += rank_ctr.get(pid, 0)
+                rank_ctr[pid] = int(ranks[sel][-1]) + 1
+            doc_ids = ranks * P + pids
             text = extract_series(pdf["url"], pdf.get("html"), pdf["text"])
             tokens = tokenize_series(text)
             dls = tokens.str.len().fillna(0).to_numpy(dtype=np.int64)
-            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            pids = pdf["pid"].to_numpy(dtype=np.int64)
             flat_terms = np.concatenate(
                 [np.asarray(t, dtype=object) for t in tokens]
             ) if dls.sum() else np.empty(0, dtype=object)
             flat_docs = np.repeat(doc_ids, dls)
             flat_pids = np.repeat(pids, dls)
             flat_dls = np.repeat(dls, dls)
+            url_arr = pdf["url"].to_numpy(dtype=object)
+            lang_arr = (
+                pdf["lang"].to_numpy(dtype=object)
+                if "lang" in pdf.columns
+                else np.full(len(pdf), None, dtype=object)
+            )
             for pid in np.unique(pids):
                 pid = int(pid)
                 sel_doc = pids == pid
                 doc_ids_all.setdefault(pid, []).append(doc_ids[sel_doc])
                 dls_all.setdefault(pid, []).append(dls[sel_doc])
+                urls_all.setdefault(pid, []).append(url_arr[sel_doc])
+                langs_all.setdefault(pid, []).append(lang_arr[sel_doc])
                 sel = flat_pids == pid
                 if sel.any():
                     frames.setdefault(pid, []).append(
@@ -155,11 +197,8 @@ def _spimi_partials(cfg: IndexConfig):
                         )
                     )
         out_rows: dict[str, list] = {
-            "pid": [],
-            "term": [],
-            "doc_ids": [],
-            "tfs": [],
-            "dls": [],
+            "pid": [], "term": [], "doc_ids": [], "tfs": [], "dls": [],
+            "urls": [], "langs": [],
         }
         for pid, fl in frames.items():
             allf = pd.concat(fl, ignore_index=True)
@@ -174,6 +213,8 @@ def _spimi_partials(cfg: IndexConfig):
                 out_rows["doc_ids"].append(g["doc_id"].to_numpy(np.int64).tolist())
                 out_rows["tfs"].append(g["tf"].to_numpy(np.int32).tolist())
                 out_rows["dls"].append(g["dl"].to_numpy(np.int32).tolist())
+                out_rows["urls"].append(None)
+                out_rows["langs"].append(None)
         for pid, ids in doc_ids_all.items():
             out_rows["pid"].append(pid)
             out_rows["term"].append(DOC_PSEUDO_TERM)
@@ -181,6 +222,8 @@ def _spimi_partials(cfg: IndexConfig):
             dl_cat = np.concatenate(dls_all[pid]).astype(np.int32).tolist()
             out_rows["tfs"].append(dl_cat)
             out_rows["dls"].append(dl_cat)
+            out_rows["urls"].append(np.concatenate(urls_all[pid]).tolist())
+            out_rows["langs"].append(np.concatenate(langs_all[pid]).tolist())
         if out_rows["pid"]:  # empty partitions yield nothing (pandas gives
             yield pd.DataFrame(out_rows)  # empty cols float64 → Arrow error
 
@@ -329,45 +372,53 @@ def build_index(
     """Full index build. See module docstring for the plan."""
     cfg = cfg or IndexConfig()
     t0 = time.time()
-    src = latest_crawl(webpages) if dedup_latest else webpages
-    with_ids = assign_doc_ids(src, cfg)
 
-    # doc map (small projection; html column pruned by Catalyst).
-    docmap = with_ids.select("doc_id", "url", "lang", "pid")
-
-    # --- stage: SPIMI partials (checkpointable per build bucket, B15) ------
-    input_cols = ["pid", "doc_id", "url", "text"] + (
-        ["html"] if "html" in with_ids.columns else []
+    # single corpus shuffle: partition by pid, sort so the newest crawl of
+    # each url comes first; the fused mapInPandas then dedups, ranks and
+    # builds SPIMI partials in one pass (see _fused_spimi docstring).
+    P = cfg.n_build_partitions
+    pre = webpages.withColumn(
+        "pid", (F.crc32(F.encode(F.col("url"), "utf-8")) % P).cast("int")
     )
-    spimi_input = with_ids.select(*input_cols).repartition(
-        cfg.n_build_partitions, "pid"
+    input_cols = ["pid", "url", "text"]
+    for opt in ("warc_ts", "html", "lang"):
+        if opt in pre.columns:
+            input_cols.append(opt)
+    sort_keys = [F.asc("url")]
+    if dedup_latest and "warc_ts" in pre.columns:
+        sort_keys += [F.desc("warc_ts"), F.desc(F.length("text"))]
+    spimi_input = (
+        pre.select(*input_cols)
+        .repartition(P, "pid")
+        .sortWithinPartitions(*sort_keys)
     )
     partials_raw = spimi_input.mapInPandas(
-        _spimi_partials(cfg), schema=PARTIALS_SCHEMA
+        _fused_spimi(cfg, dedup_latest), schema=PARTIALS_SCHEMA
     )
     if checkpoint_dir:
         partials = _checkpointed_partials(
-            spark, partials_raw, spimi_input, checkpoint_dir, cfg
+            spark, partials_raw, spimi_input, checkpoint_dir, cfg, dedup_latest
         )
     else:
         partials = partials_raw
     partials = partials.persist()
 
     doc_rows = partials.filter(F.col("term") == DOC_PSEUDO_TERM)
-    term_partials = partials.filter(F.col("term") != DOC_PSEUDO_TERM)
+    term_partials = partials.filter(
+        F.col("term") != DOC_PSEUDO_TERM
+    ).select("pid", "term", "doc_ids", "tfs", "dls")
 
-    # --- stage: stats (B5/B6) ----------------------------------------------
-    docs_dl = doc_rows.select(
+    # --- stage: stats (B5/B6): docmap rides the pseudo rows -----------------
+    docs = doc_rows.select(
         F.col("pid"),
-        F.explode(F.arrays_zip("doc_ids", "tfs")).alias("z")
+        F.explode(F.arrays_zip("doc_ids", "tfs", "urls", "langs")).alias("z"),
     ).select(
         "pid",
         F.col("z.doc_ids").alias("doc_id"),
         F.col("z.tfs").cast("int").alias("dl"),
-    )
-    docs = docmap.join(docs_dl.drop("pid"), "doc_id", "left").fillna(
-        {"dl": 0}
-    )
+        F.col("z.urls").alias("url"),
+        F.col("z.langs").alias("lang"),
+    ).persist()
     g = docs.agg(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl")
     ).collect()[0]
@@ -392,7 +443,7 @@ def build_index(
     salt_schema = T.StructType(
         PARTIALS_SCHEMA.fields[:2]
         + [T.StructField("salt", T.IntegerType()), T.StructField("df", T.LongType())]
-        + PARTIALS_SCHEMA.fields[2:]
+        + PARTIALS_SCHEMA.fields[2:5]  # doc_ids, tfs, dls (no docmap cols)
     )
     salted = with_df.select(
         "pid", "term", F.lit(0).alias("salt"), "df", "doc_ids", "tfs", "dls"
@@ -448,6 +499,7 @@ def build_index(
 
     version_dir, stats = atomic_publish(index_dir, writer)
     partials.unpersist()
+    docs.unpersist()
     terms.unpersist()
     return IndexHandle(path=index_dir, version_dir=version_dir, stats=stats)
 
@@ -458,6 +510,7 @@ def _checkpointed_partials(
     spimi_input: DataFrame,
     checkpoint_dir: str,
     cfg: IndexConfig,
+    dedup_latest: bool = True,
 ) -> DataFrame:
     """Per-partition checkpointing of the SPIMI stage (B15): partials are
     persisted partitioned by pid; a resumed build recomputes only the pids
@@ -479,7 +532,7 @@ def _checkpointed_partials(
         if done:
             todo = (
                 spimi_input.filter(~F.col("pid").isin(done))
-                .mapInPandas(_spimi_partials(cfg), schema=PARTIALS_SCHEMA)
+                .mapInPandas(_fused_spimi(cfg, dedup_latest), schema=PARTIALS_SCHEMA)
             )
         (
             todo.write.partitionBy("pid")
@@ -493,5 +546,5 @@ def _checkpointed_partials(
     out = spark.read.parquet(ckpt_path)
     # partitionBy moved pid to a partition column; restore column order/types
     return out.select(
-        F.col("pid").cast("int"), "term", "doc_ids", "tfs", "dls"
+        F.col("pid").cast("int"), "term", "doc_ids", "tfs", "dls", "urls", "langs"
     )

@@ -238,6 +238,15 @@ def query_topk(
     which is what the ANSI-SQL oracle can express."""
     handle = open_index(index) if isinstance(index, str) else index
     terms = parse_query(query)
+    if mode in ("local", "auto"):
+        st_local = _local_term_stats(handle, terms)
+        total = sum(v["df"] for v in st_local.values())
+        if mode == "local" or total <= LOCAL_MAX_POSTINGS:
+            return query_topk_local(
+                spark, handle, query, k=k, conjunctive=conjunctive,
+                with_url=with_url, stats=st_local,
+            )
+        mode = "wand"
     st = term_stats(spark, handle, terms)
     terms = [t for t in terms if t in st]  # zero-hit terms drop out
     empty = spark.createDataFrame(
@@ -305,3 +314,112 @@ def query_topk(
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
     return topk
+
+
+# ---------------------------------------------------------------------------
+# driver-local fast path (SURVEY.md §7.2.6): for interactive p50, when the
+# query terms' postings are small enough, read the pruned blocks directly
+# with pyarrow (partition pruning on bucket= dirs + row-group pruning on the
+# term-sorted rows) and score in numpy on the driver — zero Spark jobs on
+# the hot path, same scoring code, rank-identical by construction.
+# ---------------------------------------------------------------------------
+
+LOCAL_MAX_POSTINGS = 2_000_000
+
+
+def _local_term_stats(handle: IndexHandle, terms: list[str]) -> dict:
+    import pyarrow.dataset as ds
+
+    dset = ds.dataset(handle.terms_path, format="parquet")
+    tbl = dset.to_table(
+        columns=["term", "df", "cf"], filter=ds.field("term").isin(terms)
+    )
+    n = handle.stats["n_docs"]
+    return {
+        t: {"df": int(d), "cf": int(c), "idf": idf(n, int(d))}
+        for t, d, c in zip(
+            tbl["term"].to_pylist(), tbl["df"].to_pylist(), tbl["cf"].to_pylist()
+        )
+    }
+
+
+def query_topk_local(
+    spark: SparkSession,
+    handle: IndexHandle,
+    query: str,
+    k: int = 10,
+    conjunctive: bool = False,
+    with_url: bool = True,
+    stats: dict | None = None,
+):
+    import pyarrow.dataset as ds
+
+    terms = parse_query(query)
+    st = stats if stats is not None else _local_term_stats(handle, terms)
+    all_terms = terms
+    terms = [t for t in terms if t in st]
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    empty = spark.createDataFrame([], out_schema)
+    if not terms or (conjunctive and len(terms) < len(all_terms)):
+        return empty.drop(*([] if with_url else ["url"]))
+    k1, b = handle.stats["k1"], handle.stats["b"]
+    avgdl = handle.stats["avgdl"]
+    buckets = sorted(
+        {zlib.crc32(t.encode()) % handle.stats["n_term_buckets"] for t in terms}
+    )
+    dset = ds.dataset(handle.postings_path, format="parquet", partitioning="hive")
+    tbl = dset.to_table(
+        columns=["term", "n", "codec_ids", "ids_enc", "codec_tfs", "tfs_enc",
+                 "codec_dls", "dls_enc"],
+        filter=ds.field("bucket").isin(buckets) & ds.field("term").isin(terms),
+    )
+    ids_all, contrib_all = [], []
+    cols = {c: tbl[c].to_pylist() for c in tbl.column_names}
+    # fixed term order for float-sum determinism (golden parity)
+    order = sorted(range(len(cols["term"])), key=lambda i: (cols["term"][i],))
+    for i in order:
+        n = cols["n"][i]
+        ids = delta_decode(decode(cols["codec_ids"][i], cols["ids_enc"][i], n))
+        tfs = decode(cols["codec_tfs"][i], cols["tfs_enc"][i], n)
+        dls = decode(cols["codec_dls"][i], cols["dls_enc"][i], n)
+        idf_t = st[cols["term"][i]]["idf"]
+        ids_all.append(ids.astype(np.int64))
+        contrib_all.append(
+            idf_t * bm25_tf_norm(tfs.astype(np.int64), dls.astype(np.int64),
+                                 k1, b, avgdl)
+        )
+    if not ids_all:
+        return empty.drop(*([] if with_url else ["url"]))
+    ids_cat = np.concatenate(ids_all)
+    con_cat = np.concatenate(contrib_all)
+    uniq, inv = np.unique(ids_cat, return_inverse=True)
+    scores = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(scores, inv, con_cat)
+    if conjunctive:
+        counts = np.bincount(inv, minlength=len(uniq))
+        sel = counts == len(terms)
+        uniq, scores = uniq[sel], scores[sel]
+    if len(uniq) == 0:
+        return empty.drop(*([] if with_url else ["url"]))
+    order2 = np.lexsort((uniq, -scores))[:k]
+    top_ids, top_scores = uniq[order2], scores[order2]
+    urls = {}
+    if with_url:
+        dd = ds.dataset(handle.docs_path, format="parquet")
+        dt = dd.to_table(
+            columns=["doc_id", "url"],
+            filter=ds.field("doc_id").isin([int(x) for x in top_ids]),
+        )
+        urls = dict(zip(dt["doc_id"].to_pylist(), dt["url"].to_pylist()))
+    rows = [
+        (int(d), urls.get(int(d)), float(s))
+        for d, s in zip(top_ids, top_scores)
+    ]
+    df = spark.createDataFrame(rows, out_schema)
+    return df if with_url else df.drop("url")

@@ -17,6 +17,8 @@ schema.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -846,3 +848,180 @@ def explode_flatten(spark, sf_dir):
     return e.select(
         "vec_id", F.posexplode("embedding").alias("pos", "v")
     ).select("vec_id", "pos", F.round(F.col("v").cast("double"), 4).alias("val"))
+
+
+# ---------------------------------------------------------------------------
+# remaining §2.C surface: right join, JSON-with-schema, UDF/UDAF/UDTF,
+# grouping sets, exact percentile, pivot/unpivot
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_right_outer",
+    """SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS n_orders
+       FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+       GROUP BY c.c_custkey""",
+)
+def join_right_outer(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "fn_from_json",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+       FROM events""",
+)
+def fn_from_json(spark, sf_dir):
+    # A4 [R]: JSON parse with a *declared* schema (from_json), not schema-less
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.from_json("props", "k INT").getField("k").alias("k"),
+    )
+
+
+@register(
+    "udf_pandas_scalar",
+    """SELECT doc_id, round(ln(1 + length(text)) * 0.5, 6) AS quality
+       FROM documents""",
+)
+def udf_pandas_scalar(spark, sf_dir):
+    # scalar vectorized UDF (Arrow Series→Series) — §2.C UDF surface
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def quality(text: pd.Series) -> pd.Series:
+        return pd.Series(
+            np.round(np.log1p(text.str.len().to_numpy(np.float64)) * 0.5, 6)
+        )
+
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality("text").alias("quality"))
+
+
+@register(
+    "udaf_grouped_agg",
+    """SELECT o_orderstatus, round(exp(avg(ln(o_totalprice))), 4) AS geo_mean
+       FROM orders GROUP BY o_orderstatus""",
+)
+def udaf_grouped_agg(spark, sf_dir):
+    # GROUPED_AGG pandas UDF (vectorized UDAF) — geometric mean
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy(np.float64)).mean()))
+
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(geo_mean("o_totalprice"), 4).alias("geo_mean")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+)
+def agg_grouping_sets(spark, sf_dir):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+           FROM _orders_gs
+           GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+    )
+
+
+@register(
+    "fn_percentile",
+    """SELECT l_returnflag,
+              round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+              round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def fn_percentile(spark, sf_dir):
+    # exact percentile with linear interpolation (matches quantile_cont)
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("med_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+    )
+
+
+@register(
+    "pivot_status",
+    """SELECT o_orderpriority,
+              sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_f,
+              sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_o,
+              sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_p
+       FROM orders GROUP BY o_orderpriority""",
+)
+def pivot_status(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+@register(
+    "unpivot_stack",
+    """SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+              round(l_quantity, 4) AS val FROM lineitem WHERE l_orderkey < 100
+       UNION ALL
+       SELECT l_orderkey, l_linenumber, 'discount', round(l_discount, 4)
+       FROM lineitem WHERE l_orderkey < 100
+       UNION ALL
+       SELECT l_orderkey, l_linenumber, 'tax', round(l_tax, 4)
+       FROM lineitem WHERE l_orderkey < 100""",
+)
+def unpivot_stack(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(3, 'quantity', round(l_quantity, 4), "
+        "'discount', round(l_discount, 4), 'tax', round(l_tax, 4)) "
+        "AS (metric, val)",
+    )
+
+
+@register(
+    "udtf_token_expand",
+    """SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+              unnest(string_split(text, ' ')) AS token
+       FROM documents WHERE doc_id < 5""",
+)
+def udtf_token_expand(spark, sf_dir):
+    # Python UDTF surface (§2.C): lateral table function expanding a row
+    # into (pos, token) rows. Not a hot-path operator — demo of the API.
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos int, token string")
+    class TokenExpand:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                yield i, tok
+
+    spark.udtf.register("token_expand", TokenExpand)
+    t(spark, sf_dir, "documents").filter(F.col("doc_id") < 5).createOrReplaceTempView(
+        "_docs_udtf"
+    )
+    return spark.sql(
+        """SELECT d.doc_id, t.pos, t.token
+           FROM _docs_udtf d, LATERAL token_expand(d.text) t"""
+    )

@@ -18,7 +18,7 @@ def _collect(spark, built_index, q, mode, conjunctive=False):
     return [(r["doc_id"], r["score"]) for r in rows]
 
 
-@pytest.mark.parametrize("mode", ["brute", "wand"])
+@pytest.mark.parametrize("mode", ["brute", "wand", "local"])
 def test_golden_rank_identity(spark, built_index, goldens, mode):
     for entry in goldens["queries"]:
         got = _collect(spark, built_index, entry["query"], mode)
@@ -30,7 +30,7 @@ def test_golden_rank_identity(spark, built_index, goldens, mode):
             assert abs(gs - ws) < 1e-6, (entry["query"], gd, gs, ws)
 
 
-@pytest.mark.parametrize("mode", ["brute", "wand"])
+@pytest.mark.parametrize("mode", ["brute", "wand", "local"])
 def test_golden_conjunctive(spark, built_index, goldens, mode):
     for entry in goldens["queries"]:
         got = _collect(spark, built_index, entry["query"], mode, conjunctive=True)
