@@ -368,8 +368,14 @@ def build_index(
     cfg: IndexConfig | None = None,
     checkpoint_dir: str | None = None,
     dedup_latest: bool = True,
+    use_html_fallback: bool = True,
 ) -> IndexHandle:
-    """Full index build. See module docstring for the plan."""
+    """Full index build. See module docstring for the plan.
+
+    use_html_fallback=False drops the `html` binary column from the scan
+    entirely (column pruning reaches the parquet reader) — the right setting
+    when `text` is authoritative for every row; at Common-Crawl scale the
+    html payload is the dominant IO."""
     cfg = cfg or IndexConfig()
     t0 = time.time()
 
@@ -381,7 +387,8 @@ def build_index(
         "pid", (F.crc32(F.encode(F.col("url"), "utf-8")) % P).cast("int")
     )
     input_cols = ["pid", "url", "text"]
-    for opt in ("warc_ts", "html", "lang"):
+    opt_cols = ("warc_ts", "html", "lang") if use_html_fallback else ("warc_ts", "lang")
+    for opt in opt_cols:
         if opt in pre.columns:
             input_cols.append(opt)
     sort_keys = [F.asc("url")]

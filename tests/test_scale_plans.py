@@ -1,0 +1,72 @@
+"""Plan-shape assertions (SURVEY.md §4.2): predicate pushdown, column
+pruning, broadcast joins, no-html scans — the things that must hold for the
+100 TB plan to be the right plan."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+
+from engine.build import build_index
+from engine.relops import QUERIES
+from engine.webpages import load_webpages, with_recrawl
+from tests.conftest import SF_DIR_001, SF_DIR_01
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_pushdown(spark):
+    df = QUERIES["scan_project_filter"](spark, SF_DIR_01)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" in plan
+    # column pruning: the scan must not read unprojected columns
+    assert "l_comment" not in plan and "l_shipdate" not in plan
+
+
+def test_broadcast_join_strategy(spark):
+    df = QUERIES["join_broadcast_dims"](spark, SF_DIR_01)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_build_without_html_scan(spark, index_cfg):
+    """use_html_fallback=False must prune the html binary column out of the
+    whole build lineage (SURVEY.md §4.2 'never read html when text
+    suffices')."""
+    wp = load_webpages(spark, SF_DIR_001)
+    d = tempfile.mkdtemp(prefix="idx_nohtml_")
+    h = build_index(spark, wp, d, index_cfg, use_html_fallback=False)
+    assert h.stats["n_docs"] == 500
+
+
+def test_fused_dedup_in_build(spark, index_cfg, built_index):
+    """The fused build path must dedup recrawls exactly like the batch
+    latest_crawl operator: 550 input rows → 500 docs, and the kept (newer)
+    crawl has one extra token (' dup' suffix) vs the clean index."""
+    wp = with_recrawl(load_webpages(spark, SF_DIR_001))
+    d = tempfile.mkdtemp(prefix="idx_recrawl_")
+    h = build_index(spark, wp, d, index_cfg)
+    assert h.stats["n_docs"] == 500
+    clean_dl = {
+        r["url"]: r["dl"]
+        for r in spark.read.parquet(built_index.docs_path).collect()
+    }
+    re_dl = {
+        r["url"]: r["dl"] for r in spark.read.parquet(h.docs_path).collect()
+    }
+    assert set(clean_dl) == set(re_dl)
+    for url, dl in re_dl.items():
+        doc_no = int(url.rsplit("/", 1)[1])
+        assert dl == clean_dl[url] + (1 if doc_no % 10 == 0 else 0), url
+
+
+def test_query_scan_prunes_term_buckets(spark, built_index):
+    """The pruned postings scan must hit only the query terms' bucket
+    directories (partition pruning), not the full postings table."""
+    from engine.query import _pruned_postings
+
+    df = _pruned_postings(spark, built_index, ["spark"])
+    plan = _plan(df)
+    assert "PartitionFilters" in plan and "bucket" in plan
