@@ -247,7 +247,12 @@ def query_topk(
                 with_url=with_url, stats=st_local,
             )
         mode = "wand"
-    st = term_stats(spark, handle, terms)
+    try:
+        # driver-side stats lookup via pyarrow (no Spark job); the dict is
+        # shipped to executors in the scoring closure (B11 broadcast stats)
+        st = _local_term_stats(handle, terms)
+    except Exception:  # non-local filesystem → fall back to a Spark read
+        st = term_stats(spark, handle, terms)
     terms = [t for t in terms if t in st]  # zero-hit terms drop out
     empty = spark.createDataFrame(
         [],
@@ -305,15 +310,45 @@ def query_topk(
     else:
         raise ValueError(f"unknown mode {mode!r}")
 
-    topk = topk.select("doc_id", F.col("score").cast("double"))
-    if with_url:
-        docs = spark.read.parquet(handle.docs_path).select("doc_id", "url")
-        topk = (
-            docs.join(F.broadcast(topk), "doc_id")
-            .select("doc_id", "url", "score")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-        )
-    return topk
+    # Materialize the ≤k result now (one Spark job) and resolve urls with a
+    # driver-side pyarrow lookup — avoids a second job scanning the docs
+    # table per query. Row order (score desc, doc_id asc) is preserved.
+    rows = topk.select("doc_id", F.col("score").cast("double")).collect()
+    top_ids = [int(r["doc_id"]) for r in rows]
+    urls: dict[int, str] = {}
+    if with_url and top_ids:
+        try:
+            import pyarrow.dataset as ds
+
+            dt = ds.dataset(handle.docs_path, format="parquet").to_table(
+                columns=["doc_id", "url"],
+                filter=ds.field("doc_id").isin(top_ids),
+            )
+            urls = dict(zip(dt["doc_id"].to_pylist(), dt["url"].to_pylist()))
+        except Exception:
+            docs = spark.read.parquet(handle.docs_path)
+            urls = {
+                r["doc_id"]: r["url"]
+                for r in docs.filter(F.col("doc_id").isin(top_ids))
+                .select("doc_id", "url")
+                .collect()
+            }
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.Series(top_ids, dtype="int64"),
+            "url": [urls.get(d) for d in top_ids],
+            "score": pd.Series([float(r["score"]) for r in rows], dtype="float64"),
+        }
+    )
+    df = spark.createDataFrame(pdf, out_schema)
+    return df if with_url else df.drop("url")
 
 
 # ---------------------------------------------------------------------------
@@ -417,9 +452,13 @@ def query_topk_local(
             filter=ds.field("doc_id").isin([int(x) for x in top_ids]),
         )
         urls = dict(zip(dt["doc_id"].to_pylist(), dt["url"].to_pylist()))
-    rows = [
-        (int(d), urls.get(int(d)), float(s))
-        for d, s in zip(top_ids, top_scores)
-    ]
-    df = spark.createDataFrame(rows, out_schema)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": top_ids.astype(np.int64),
+            "url": [urls.get(int(d)) for d in top_ids],
+            "score": top_scores.astype(np.float64),
+        }
+    )
+    # pandas→Arrow createDataFrame is ~10x cheaper than the row-list path
+    df = spark.createDataFrame(pdf, out_schema)
     return df if with_url else df.drop("url")
