@@ -45,24 +45,29 @@ def _cosine_col(qv: list[float]):
     return dot / (n1 * F.lit(n2))
 
 
+def cosine_topk_df(e: DataFrame, qv: list[float], k: int = 10,
+                   exclude_id: int | None = None) -> DataFrame:
+    """Brute-force cosine top-k over any (vec_id, embedding) DataFrame,
+    computed entirely with JVM higher-order functions — no Python in the
+    scan. The exactness baseline."""
+    if exclude_id is not None:
+        e = e.filter(F.col("vec_id") != exclude_id)
+    return (
+        e.select("vec_id", F.round(_cosine_col(qv), 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 @register("ann_cosine_topk", _ANN_SQL)
 def ann_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-10 for the query vector (vec_id=0), computed
-    entirely with JVM higher-order functions — no Python in the scan."""
     e = t(spark, sf_dir, "embeddings")
     qv = (
         e.filter(F.col("vec_id") == QUERY_VEC_ID)
         .select("embedding")
         .collect()[0][0]
     )
-    return (
-        e.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .select(
-            "vec_id", F.round(_cosine_col(qv), 4).alias("cosine")
-        )
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(10)
-    )
+    return cosine_topk_df(e, qv, 10, exclude_id=QUERY_VEC_ID)
 
 
 # ---------------------------------------------------------------------------
@@ -110,6 +115,25 @@ def _probe_sigs(qv: np.ndarray, n_probe_bits: int = 2) -> list[int]:
     return sorted(sigs)
 
 
+def lsh_topk_df(e: DataFrame, qv: np.ndarray, k: int = 10,
+                exclude_id: int | None = None) -> DataFrame:
+    """LSH-bucketed ANN: signature buckets + multiprobe candidate set,
+    exact cosine re-rank of candidates only. Approximate by design — recall
+    depends on data having genuine neighborhood structure (tested in pytest
+    on a clustered corpus; the isotropic random fixture is a worst case)."""
+    sigs = e.select("vec_id", "embedding").mapInPandas(_signatures, SIG_SCHEMA)
+    probes = _probe_sigs(qv)
+    cand_ids = sigs.filter(F.col("sig").isin(probes)).select("vec_id")
+    cands = e.join(cand_ids, "vec_id", "left_semi")
+    if exclude_id is not None:
+        cands = cands.filter(F.col("vec_id") != exclude_id)
+    return (
+        cands.select("vec_id", F.round(_cosine_col(qv.tolist()), 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 @register("ann_lsh_topk")  # approximate — rows-only; recall tested in pytest
 def ann_lsh_topk(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
@@ -117,14 +141,4 @@ def ann_lsh_topk(spark, sf_dir):
         e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").collect()[0][0],
         dtype=np.float64,
     )
-    sigs = e.select("vec_id", "embedding").mapInPandas(_signatures, SIG_SCHEMA)
-    probes = _probe_sigs(qv)
-    cand_ids = sigs.filter(F.col("sig").isin(probes)).select("vec_id")
-    cands = e.join(cand_ids, "vec_id", "left_semi").filter(
-        F.col("vec_id") != QUERY_VEC_ID
-    )
-    return (
-        cands.select("vec_id", F.round(_cosine_col(qv.tolist()), 4).alias("cosine"))
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(10)
-    )
+    return lsh_topk_df(e, qv, 10, exclude_id=QUERY_VEC_ID)

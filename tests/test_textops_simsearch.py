@@ -1,0 +1,84 @@
+"""Sketch-based operators: LSH-ANN recall vs brute force, SimHash near-dup
+recall vs the exact Jaccard pairs, JSONL source with declared schema (A4)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+import engine.simsearch  # noqa: F401 - populates the registry
+import engine.textops  # noqa: F401
+from engine.relops import QUERIES
+from tests.conftest import SF_DIR_001
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    """LSH recall on a corpus with real neighborhood structure: 30 vectors
+    clustered around the query + 470 background vectors. (The driver fixture
+    is isotropic random — cosine 'neighbors' there are near-ties, which no
+    sublinear ANN can recover; the clustered corpus is the meaningful test.)"""
+    import numpy as np
+
+    from engine.simsearch import cosine_topk_df, lsh_topk_df
+
+    rng = np.random.default_rng(3)
+    qv = rng.standard_normal(64)
+    rows = []
+    for i in range(30):  # planted neighbors
+        rows.append((i, (qv + 0.35 * rng.standard_normal(64)).tolist()))
+    for i in range(30, 500):  # background
+        rows.append((i, rng.standard_normal(64).tolist()))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    brute = [r["vec_id"] for r in cosine_topk_df(e, qv.tolist(), 10).collect()]
+    lsh = [r["vec_id"] for r in lsh_topk_df(e, qv, 10).collect()]
+    overlap = len(set(brute) & set(lsh))
+    assert overlap >= 8, f"LSH recall too low: {overlap}/10 ({brute} vs {lsh})"
+
+
+def test_simhash_finds_neardups(spark):
+    pairs = {
+        (r["a"], r["b"])
+        for r in QUERIES["dedup_simhash"](spark, SF_DIR_001).collect()
+    }
+    # the engineered near-dups are (i, i+10000) for i < 50; one appended
+    # token flips few simhash bits, so the vast majority must be found
+    expected = {(i, i + 10000) for i in range(50)}
+    found = len(expected & pairs)
+    assert found >= 40, f"simhash recall too low: {found}/50"
+
+
+def test_jsonl_source_with_declared_schema(spark, tmp_path):
+    """A4 [R]: JSONL bundle ingest with a *declared* StructType (no schema
+    inference), nested arrays intact."""
+    import json
+
+    p = tmp_path / "bundles.jsonl"
+    rows = [
+        {
+            "bundle_uuid": f"b{i}",
+            "donor_uuid": f"d{i % 3}",
+            "program": "PROG1",
+            "workflow_outputs": [
+                {"file_path": f"/x/{i}.bam", "file_type": "bam", "file_size": i}
+            ],
+        }
+        for i in range(9)
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    schema = (
+        "bundle_uuid string, donor_uuid string, program string, "
+        "workflow_outputs array<struct<file_path string, file_type string, "
+        "file_size long>>"
+    )
+    df = spark.read.schema(schema).json(str(p))
+    assert df.count() == 9
+    assert df.schema["workflow_outputs"].dataType.typeName() == "array"
+    flat = df.select(F.explode("workflow_outputs").alias("f"))
+    assert flat.filter(F.col("f.file_type") == "bam").count() == 9
+    # corrupt-record routing: a malformed line lands in _corrupt_record
+    p2 = tmp_path / "bad.jsonl"
+    p2.write_text('{"bundle_uuid": "ok"}\n{not json}\n')
+    df2 = spark.read.schema(
+        "bundle_uuid string, _corrupt_record string"
+    ).json(str(p2)).cache()  # Spark requires caching to query corrupt col
+    bad = df2.filter(F.col("_corrupt_record").isNotNull()).count()
+    assert bad == 1
