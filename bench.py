@@ -63,7 +63,13 @@ def main() -> None:
         n_build_partitions=32, n_doc_ranges=32, min_hot_df=256, n_term_buckets=16
     )
 
-    wp = load_webpages(spark, sf_dir).persist()
+    wp = load_webpages(spark, sf_dir)
+    scale = int(os.environ.get("BENCH_SCALE_FACTOR", "1"))
+    if scale > 1:
+        from engine.webpages import replicate_webpages
+
+        wp = replicate_webpages(wp, scale)
+    wp = wp.persist()
     n_input = wp.count()  # materialize input outside the timed build
 
     t0 = time.time()
@@ -130,6 +136,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_dir,
         "cpus": cpus,
+        "scale_factor": scale,
         "n_docs": n_docs,
         "n_input_rows": n_input,
         "build_sec": round(build_sec, 3),

@@ -57,3 +57,21 @@ def with_recrawl(webpages: DataFrame) -> DataFrame:
         )
     )
     return webpages.unionByName(dups)
+
+
+def replicate_webpages(webpages: DataFrame, factor: int) -> DataFrame:
+    """Deterministically scale the corpus ×factor for benchmarks (driver
+    note: synthesize the input shape at small scale — no external data).
+    Each replica gets a unique url suffix; text is unchanged so per-doc work
+    is representative."""
+    if factor <= 1:
+        return webpages
+    return webpages.withColumn(
+        "_r", F.explode(F.array(*[F.lit(i) for i in range(factor)]))
+    ).select(
+        F.concat(F.col("url"), F.lit("?r="), F.col("_r")).alias("url"),
+        F.col("warc_ts"),
+        F.col("html"),
+        F.col("text"),
+        F.col("lang"),
+    )

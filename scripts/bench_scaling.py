@@ -20,6 +20,12 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def run(cpus: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
     env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # replicate the corpus so compute dominates fixed job overhead — the
+    # scaling comparison is meaningless when a 5k-doc build is ~50% Spark
+    # scheduling constant (driver note allows deterministic small-scale
+    # synthesis of the input shape)
+    env.setdefault("BENCH_SCALE_FACTOR", "40")
+    env.setdefault("BENCH_QUERY_REPS", "3")
     p = subprocess.run(
         [sys.executable, os.path.join(ROOT, "bench.py")],
         capture_output=True, text=True, env=env, timeout=1800,
