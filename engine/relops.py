@@ -1025,3 +1025,30 @@ def udtf_token_expand(spark, sf_dir):
         """SELECT d.doc_id, t.pos, t.token
            FROM _docs_udtf d, LATERAL token_expand(d.text) t"""
     )
+
+
+@register(
+    "fn_array_distinct",
+    """SELECT doc_id,
+              len(list_distinct(string_split(text, ' ')))::INT AS n_distinct,
+              len(string_split(text, ' '))::INT AS n_tokens,
+              list_sort(list_distinct(string_split(text, ' ')))[1] AS first_tok
+       FROM documents""",
+)
+def fn_array_distinct(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(toks).alias("n_tokens"),
+        F.element_at(F.sort_array(F.array_distinct(toks)), 1).alias("first_tok"),
+    )
+
+
+@register("fn_percentile_approx")  # sketch-based — rows-only check
+def fn_percentile_approx(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median")
+    )

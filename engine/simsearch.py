@@ -142,3 +142,70 @@ def ann_lsh_topk(spark, sf_dir):
         dtype=np.float64,
     )
     return lsh_topk_df(e, qv, 10, exclude_id=QUERY_VEC_ID)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs (dedup family — the embedding-space
+# analog of MinHash text dedup). Candidates from LSH signature buckets,
+# exact cosine verification — output equals the exact pairwise result for
+# thresholds high enough that near-dups collide in at least one probe.
+# ---------------------------------------------------------------------------
+
+_EMB_DUP_SQL = """
+WITH emb2 AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 50
+)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(
+           list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+           list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS cosine
+FROM emb2 a JOIN emb2 b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(
+          list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+          list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.99
+"""
+
+
+@register("dedup_embedding_cosine", _EMB_DUP_SQL)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Exact-copy embeddings planted (vec_id < 50 duplicated at +10000);
+    LSH-bucketed candidate pairs (identical vectors share every bucket),
+    exact cosine ≥ 0.99 verification. The oracle computes the exact pairwise
+    answer; LSH recall is 1.0 for identical vectors by construction."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = e.unionByName(
+        e.filter(F.col("vec_id") < 50).withColumn(
+            "vec_id", F.col("vec_id") + 10000
+        )
+    )
+    sigs = dup.select("vec_id", "embedding").mapInPandas(_signatures, SIG_SCHEMA)
+    l = sigs.alias("l")
+    r = sigs.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))
+        .distinct()
+    )
+    ea = dup.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    eb = dup.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    da = F.transform("va", lambda x: x.cast("double"))
+    db_ = F.transform("vb", lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(da, db_, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(da, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(db_, F.lit(0.0), lambda acc, x: acc + x * x))
+    cos = dot / (na * nb)
+    return (
+        cand.join(ea, "a")
+        .join(eb, "b")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.99)
+        .select("a", "b", F.round("cosine", 4).alias("cosine"))
+    )
