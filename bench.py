@@ -69,6 +69,10 @@ def main() -> None:
         from engine.webpages import replicate_webpages
 
         wp = replicate_webpages(wp, scale)
+    # condition the input like a real multi-file table: the sf parquet is a
+    # single 600 KB file (1 scan partition), which would serialize the
+    # shuffle map side and invalidate any scaling comparison
+    wp = wp.repartition(max(64, cpus * 4))
     wp = wp.persist()
     n_input = wp.count()  # materialize input outside the timed build
 

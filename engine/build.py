@@ -119,14 +119,19 @@ def assign_doc_ids(webpages: DataFrame, cfg: IndexConfig) -> DataFrame:
 
 def _fused_spimi(cfg: IndexConfig, dedup: bool):
     """mapInPandas body fusing three stages into the single corpus shuffle
-    (repartition by pid + sortWithinPartitions(url, warc_ts desc)):
+    (repartition by pid + sortWithinPartitions(url, warc_ts desc, len desc)):
 
     1. latest-crawl dedup per url (A9) — rows arrive url-sorted with the
-       newest crawl first, so dedup = keep first row per url;
+       newest crawl first, so dedup = keep first row per url (O(1) state
+       across Arrow batches; never buffers raw text — bounded memory at any
+       partition size, spill handled by the upstream Tungsten sort);
     2. deterministic doc-id assignment — doc_id = rank_in_pid * P + pid,
        rank = position of the url among the pid's deduped sorted urls
        (pure function of the url set + P: identical at any parallelism);
-    3. SPIMI per-partition posting construction (B4), vectorized.
+    3. SPIMI per-partition posting construction (B4): terms are factorized
+       to integer codes per batch (strings touched once), then one lexsort +
+       run-length pass aggregates (pid, term, doc) → tf. No object-dtype
+       groupby — that is memory-bandwidth-bound at high core counts.
 
     A Spark partition can hold several pids (hash distribution is not
     bijective) — all state is per pid. The pseudo row (term="") carries the
@@ -135,7 +140,12 @@ def _fused_spimi(cfg: IndexConfig, dedup: bool):
     P = cfg.n_build_partitions
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        frames: dict[int, list[pd.DataFrame]] = {}
+        vocab: dict[str, int] = {}
+        vocab_list: list[str] = []
+        acc_codes: list[np.ndarray] = []
+        acc_docs: list[np.ndarray] = []
+        acc_dls: list[np.ndarray] = []
+        acc_pids: list[np.ndarray] = []
         doc_ids_all: dict[int, list[np.ndarray]] = {}
         dls_all: dict[int, list[np.ndarray]] = {}
         urls_all: dict[int, list[np.ndarray]] = {}
@@ -166,12 +176,23 @@ def _fused_spimi(cfg: IndexConfig, dedup: bool):
             text = extract_series(pdf["url"], pdf.get("html"), pdf["text"])
             tokens = tokenize_series(text)
             dls = tokens.str.len().fillna(0).to_numpy(dtype=np.int64)
-            flat_terms = np.concatenate(
-                [np.asarray(t, dtype=object) for t in tokens]
-            ) if dls.sum() else np.empty(0, dtype=object)
-            flat_docs = np.repeat(doc_ids, dls)
-            flat_pids = np.repeat(pids, dls)
-            flat_dls = np.repeat(dls, dls)
+            if dls.sum():
+                flat_terms = np.concatenate(
+                    [np.asarray(t, dtype=object) for t in tokens]
+                )
+                bcodes, buniq = pd.factorize(flat_terms, sort=False)
+                remap = np.empty(len(buniq), dtype=np.int64)
+                for j, tm in enumerate(buniq):
+                    code = vocab.get(tm)
+                    if code is None:
+                        code = len(vocab_list)
+                        vocab[tm] = code
+                        vocab_list.append(tm)
+                    remap[j] = code
+                acc_codes.append(remap[bcodes])
+                acc_docs.append(np.repeat(doc_ids, dls))
+                acc_pids.append(np.repeat(pids, dls))
+                acc_dls.append(np.repeat(dls, dls))
             url_arr = pdf["url"].to_numpy(dtype=object)
             lang_arr = (
                 pdf["lang"].to_numpy(dtype=object)
@@ -185,45 +206,54 @@ def _fused_spimi(cfg: IndexConfig, dedup: bool):
                 dls_all.setdefault(pid, []).append(dls[sel_doc])
                 urls_all.setdefault(pid, []).append(url_arr[sel_doc])
                 langs_all.setdefault(pid, []).append(lang_arr[sel_doc])
-                sel = flat_pids == pid
-                if sel.any():
-                    frames.setdefault(pid, []).append(
-                        pd.DataFrame(
-                            {
-                                "term": flat_terms[sel],
-                                "doc_id": flat_docs[sel],
-                                "dl": flat_dls[sel],
-                            }
-                        )
-                    )
         out_rows: dict[str, list] = {
             "pid": [], "term": [], "doc_ids": [], "tfs": [], "dls": [],
             "urls": [], "langs": [],
         }
-        for pid, fl in frames.items():
-            allf = pd.concat(fl, ignore_index=True)
-            grouped = (
-                allf.groupby(["term", "doc_id"], sort=False)
-                .agg(tf=("dl", "size"), dl=("dl", "first"))
-                .reset_index()
+        if acc_codes:
+            codes = np.concatenate(acc_codes)
+            docs_f = np.concatenate(acc_docs)
+            dls_f = np.concatenate(acc_dls)
+            pids_f = np.concatenate(acc_pids)
+            order = np.lexsort((docs_f, codes, pids_f))
+            codes, docs_f = codes[order], docs_f[order]
+            dls_f, pids_f = dls_f[order], pids_f[order]
+            # run boundaries at (pid, code, doc) change → tf per posting
+            change = np.empty(len(codes), dtype=bool)
+            change[0] = True
+            change[1:] = (
+                (codes[1:] != codes[:-1])
+                | (docs_f[1:] != docs_f[:-1])
+                | (pids_f[1:] != pids_f[:-1])
             )
-            for term, g in grouped.groupby("term", sort=False):
-                out_rows["pid"].append(pid)
-                out_rows["term"].append(term)
-                out_rows["doc_ids"].append(g["doc_id"].to_numpy(np.int64).tolist())
-                out_rows["tfs"].append(g["tf"].to_numpy(np.int32).tolist())
-                out_rows["dls"].append(g["dl"].to_numpy(np.int32).tolist())
+            starts = np.flatnonzero(change)
+            tf = np.diff(np.append(starts, len(codes))).astype(np.int32)
+            p_doc = docs_f[starts]
+            p_dl = dls_f[starts].astype(np.int32)
+            p_code = codes[starts]
+            p_pid = pids_f[starts]
+            # row boundaries at (pid, code) change
+            rchange = np.empty(len(starts), dtype=bool)
+            rchange[0] = True
+            rchange[1:] = (p_code[1:] != p_code[:-1]) | (p_pid[1:] != p_pid[:-1])
+            rstarts = np.flatnonzero(rchange).tolist() + [len(starts)]
+            for a, bnd in zip(rstarts[:-1], rstarts[1:]):
+                out_rows["pid"].append(int(p_pid[a]))
+                out_rows["term"].append(vocab_list[int(p_code[a])])
+                out_rows["doc_ids"].append(p_doc[a:bnd])
+                out_rows["tfs"].append(tf[a:bnd])
+                out_rows["dls"].append(p_dl[a:bnd])
                 out_rows["urls"].append(None)
                 out_rows["langs"].append(None)
         for pid, ids in doc_ids_all.items():
             out_rows["pid"].append(pid)
             out_rows["term"].append(DOC_PSEUDO_TERM)
-            out_rows["doc_ids"].append(np.concatenate(ids).tolist())
-            dl_cat = np.concatenate(dls_all[pid]).astype(np.int32).tolist()
+            out_rows["doc_ids"].append(np.concatenate(ids))
+            dl_cat = np.concatenate(dls_all[pid]).astype(np.int32)
             out_rows["tfs"].append(dl_cat)
             out_rows["dls"].append(dl_cat)
-            out_rows["urls"].append(np.concatenate(urls_all[pid]).tolist())
-            out_rows["langs"].append(np.concatenate(langs_all[pid]).tolist())
+            out_rows["urls"].append(np.concatenate(urls_all[pid]))
+            out_rows["langs"].append(np.concatenate(langs_all[pid]))
         if out_rows["pid"]:  # empty partitions yield nothing (pandas gives
             yield pd.DataFrame(out_rows)  # empty cols float64 → Arrow error
 
@@ -256,9 +286,9 @@ def _salt_split(cfg: IndexConfig, range_size: int, hot_terms: set[str] | None):
                     out["term"].append(row.term)
                     out["salt"].append(0)
                     out["df"].append(row.df)
-                    out["doc_ids"].append(ids.tolist())
-                    out["tfs"].append(np.asarray(row.tfs, dtype=np.int32).tolist())
-                    out["dls"].append(np.asarray(row.dls, dtype=np.int32).tolist())
+                    out["doc_ids"].append(ids)
+                    out["tfs"].append(np.asarray(row.tfs, dtype=np.int32))
+                    out["dls"].append(np.asarray(row.dls, dtype=np.int32))
                     continue
                 salts = ids // range_size
                 order = np.argsort(salts, kind="stable")
@@ -276,9 +306,9 @@ def _salt_split(cfg: IndexConfig, range_size: int, hot_terms: set[str] | None):
                     out["term"].append(row.term)
                     out["salt"].append(int(seg_ids[0] // range_size) + 1)
                     out["df"].append(row.df)
-                    out["doc_ids"].append(seg_ids.tolist())
-                    out["tfs"].append(seg_tfs.tolist())
-                    out["dls"].append(seg_dls.tolist())
+                    out["doc_ids"].append(seg_ids)
+                    out["tfs"].append(seg_tfs)
+                    out["dls"].append(seg_dls)
             if out["pid"]:
                 yield pd.DataFrame(out)
 
@@ -386,6 +416,14 @@ def build_index(
     pre = webpages.withColumn(
         "pid", (F.crc32(F.encode(F.col("url"), "utf-8")) % P).cast("int")
     )
+    if use_html_fallback and "html" in pre.columns:
+        # ship the html payload only for rows that need the fallback —
+        # extraction uses html iff text is null, and moving the (dominant)
+        # binary column through Arrow for every row costs more than the
+        # whole tokenize stage
+        pre = pre.withColumn(
+            "html", F.when(F.col("text").isNull(), F.col("html"))
+        )
     input_cols = ["pid", "url", "text"]
     opt_cols = ("warc_ts", "html", "lang") if use_html_fallback else ("warc_ts", "lang")
     for opt in opt_cols:

@@ -148,3 +148,35 @@ def idf(N: int, df: np.ndarray | int) -> np.ndarray | float:
     dfa = np.asarray(df, dtype=np.float64)
     out = np.log(1.0 + (N - dfa + 0.5) / (dfa + 0.5))
     return float(out) if out.ndim == 0 else out
+
+
+def decode_concat(codecs, bufs, ns) -> np.ndarray:
+    """Decode many blocks in bulk → one concatenated uint64 array in block
+    order. All varint blocks are decoded in a single vectorized pass over
+    their concatenated bytes (LEB128 is self-delimiting); FOR blocks decode
+    per block (they carry a width header). ~100x fewer numpy calls than
+    block-at-a-time decoding on long posting lists."""
+    total = int(sum(ns))
+    out = np.empty(total, dtype=np.uint64)
+    pos = np.concatenate(([0], np.cumsum(ns))).astype(np.int64)
+    vi = [i for i, c in enumerate(codecs) if c == CODEC_VARINT and ns[i]]
+    if vi:
+        vals = varint_decode(b"".join(bufs[i] for i in vi))
+        o = 0
+        for i in vi:
+            out[pos[i] : pos[i + 1]] = vals[o : o + ns[i]]
+            o += ns[i]
+    for i, c in enumerate(codecs):
+        if c == CODEC_FOR and ns[i]:
+            out[pos[i] : pos[i + 1]] = for_decode(bufs[i], ns[i])
+    return out
+
+
+def delta_decode_blocks(gaps_concat: np.ndarray, ns) -> np.ndarray:
+    """Vectorized per-block delta reconstruction over concatenated gap
+    arrays (each block's first value is absolute)."""
+    ns = np.asarray(ns, dtype=np.int64)
+    s = np.cumsum(gaps_concat, dtype=np.uint64)
+    starts = np.concatenate(([0], np.cumsum(ns[:-1])))
+    base = s[starts] - gaps_concat[starts]
+    return s - np.repeat(base, ns)

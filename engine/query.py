@@ -37,7 +37,14 @@ from pyspark.sql import types as T
 
 from engine.analyzer import tokenize
 from engine.build import IndexHandle, open_index
-from engine.codec import bm25_tf_norm, decode, delta_decode, idf
+from engine.codec import (
+    bm25_tf_norm,
+    decode,
+    decode_concat,
+    delta_decode,
+    delta_decode_blocks,
+    idf,
+)
 
 SCORE_SCHEMA = T.StructType(
     [
@@ -105,11 +112,22 @@ def _brute_scorer(stats: dict, k1: float, b: float, avgdl: float):
         for pdf in batches:
             ids_out: list[np.ndarray] = []
             contrib_out: list[np.ndarray] = []
-            for row in pdf.itertuples(index=False):
-                ids, tfs, dls = _decode_block(row)
-                idf_t = stats[row.term]["idf"]
+            for tm, g in pdf.groupby("term", sort=True):
+                ns = g["n"].tolist()
+                gaps = decode_concat(
+                    g["codec_ids"].tolist(), g["ids_enc"].tolist(), ns
+                )
+                ids = delta_decode_blocks(gaps, ns).astype(np.int64)
+                tfs = decode_concat(
+                    g["codec_tfs"].tolist(), g["tfs_enc"].tolist(), ns
+                ).astype(np.int64)
+                dls = decode_concat(
+                    g["codec_dls"].tolist(), g["dls_enc"].tolist(), ns
+                ).astype(np.int64)
                 ids_out.append(ids)
-                contrib_out.append(idf_t * bm25_tf_norm(tfs, dls, k1, b, avgdl))
+                contrib_out.append(
+                    stats[tm]["idf"] * bm25_tf_norm(tfs, dls, k1, b, avgdl)
+                )
             if not ids_out:
                 yield pd.DataFrame({"doc_id": [], "contrib": []}).astype(
                     {"doc_id": np.int64, "contrib": np.float64}
@@ -416,18 +434,30 @@ def query_topk_local(
     )
     ids_all, contrib_all = [], []
     cols = {c: tbl[c].to_pylist() for c in tbl.column_names}
-    # fixed term order for float-sum determinism (golden parity)
-    order = sorted(range(len(cols["term"])), key=lambda i: (cols["term"][i],))
-    for i in order:
-        n = cols["n"][i]
-        ids = delta_decode(decode(cols["codec_ids"][i], cols["ids_enc"][i], n))
-        tfs = decode(cols["codec_tfs"][i], cols["tfs_enc"][i], n)
-        dls = decode(cols["codec_dls"][i], cols["dls_enc"][i], n)
-        idf_t = st[cols["term"][i]]["idf"]
-        ids_all.append(ids.astype(np.int64))
+    # per-term batched block decode (one vectorized pass per column per
+    # term); fixed term order for float-sum determinism (golden parity)
+    by_term: dict[str, list[int]] = {}
+    for i, tm in enumerate(cols["term"]):
+        by_term.setdefault(tm, []).append(i)
+    for tm in sorted(by_term):
+        idxs = by_term[tm]
+        ns = [cols["n"][i] for i in idxs]
+        gaps = decode_concat(
+            [cols["codec_ids"][i] for i in idxs],
+            [cols["ids_enc"][i] for i in idxs], ns,
+        )
+        ids = delta_decode_blocks(gaps, ns).astype(np.int64)
+        tfs = decode_concat(
+            [cols["codec_tfs"][i] for i in idxs],
+            [cols["tfs_enc"][i] for i in idxs], ns,
+        ).astype(np.int64)
+        dls = decode_concat(
+            [cols["codec_dls"][i] for i in idxs],
+            [cols["dls_enc"][i] for i in idxs], ns,
+        ).astype(np.int64)
+        ids_all.append(ids)
         contrib_all.append(
-            idf_t * bm25_tf_norm(tfs.astype(np.int64), dls.astype(np.int64),
-                                 k1, b, avgdl)
+            st[tm]["idf"] * bm25_tf_norm(tfs, dls, k1, b, avgdl)
         )
     if not ids_all:
         return empty.drop(*([] if with_url else ["url"]))

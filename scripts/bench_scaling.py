@@ -24,7 +24,7 @@ def run(cpus: int) -> dict:
     # scaling comparison is meaningless when a 5k-doc build is ~50% Spark
     # scheduling constant (driver note allows deterministic small-scale
     # synthesis of the input shape)
-    env.setdefault("BENCH_SCALE_FACTOR", "40")
+    env.setdefault("BENCH_SCALE_FACTOR", "100")
     env.setdefault("BENCH_QUERY_REPS", "3")
     p = subprocess.run(
         [sys.executable, os.path.join(ROOT, "bench.py")],

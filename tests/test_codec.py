@@ -91,3 +91,28 @@ def test_block_max_is_upper_bound():
 def test_idf_matches_lucene_formula():
     assert abs(idf(500, 250) - np.log(1 + (500 - 250 + 0.5) / 250.5)) < 1e-12
     assert idf(500, 500) > 0  # never negative (Lucene BM25 property)
+
+
+def test_batch_decode_matches_per_block():
+    import numpy as np
+
+    from engine.codec import (
+        decode_concat,
+        delta_decode_blocks,
+        delta_encode,
+        encode_best,
+    )
+
+    rng = np.random.default_rng(11)
+    ids = np.sort(rng.choice(10**7, size=1000, replace=False)).astype(np.uint64)
+    codecs, bufs, ns, want = [], [], [], []
+    for lo in range(0, 1000, 128):
+        blk = ids[lo : lo + 128]
+        c, b = encode_best(delta_encode(blk))
+        codecs.append(c)
+        bufs.append(b)
+        ns.append(len(blk))
+        want.append(blk)
+    gaps = decode_concat(codecs, bufs, ns)
+    got = delta_decode_blocks(gaps, ns)
+    assert (got == np.concatenate(want)).all()
