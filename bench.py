@@ -68,7 +68,10 @@ def main() -> None:
     if scale > 1:
         from engine.webpages import replicate_webpages
 
-        wp = replicate_webpages(wp, scale)
+        # replicated bench corpus drops the html payload: extraction never
+        # touches it when text is non-null, and caching N×360B of dead
+        # bytes would only distort the scaling measurement
+        wp = replicate_webpages(wp, scale).drop("html")
     # condition the input like a real multi-file table: the sf parquet is a
     # single 600 KB file (1 scan partition), which would serialize the
     # shuffle map side and invalidate any scaling comparison

@@ -67,7 +67,7 @@ def replicate_webpages(webpages: DataFrame, factor: int) -> DataFrame:
     if factor <= 1:
         return webpages
     return webpages.withColumn(
-        "_r", F.explode(F.array(*[F.lit(i) for i in range(factor)]))
+        "_r", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
     ).select(
         F.concat(F.col("url"), F.lit("?r="), F.col("_r")).alias("url"),
         F.col("warc_ts"),

@@ -24,11 +24,11 @@ def run(cpus: int) -> dict:
     # scaling comparison is meaningless when a 5k-doc build is ~50% Spark
     # scheduling constant (driver note allows deterministic small-scale
     # synthesis of the input shape)
-    env.setdefault("BENCH_SCALE_FACTOR", "100")
-    env.setdefault("BENCH_QUERY_REPS", "3")
+    env.setdefault("BENCH_SCALE_FACTOR", "2000")
+    env.setdefault("BENCH_QUERY_REPS", "1")
     p = subprocess.run(
         [sys.executable, os.path.join(ROOT, "bench.py")],
-        capture_output=True, text=True, env=env, timeout=1800,
+        capture_output=True, text=True, env=env, timeout=3600,
     )
     line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
