@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import types as T
 
 from engine.analyzer import extract_series, tokenize_series
-from engine.codec import bm25_tf_norm, delta_encode, encode_best, idf
+from engine.codec import bm25_tf_norm, encode_blocks, idf
 from engine.config import IndexConfig
 from engine.publish import atomic_publish, read_manifest
 
@@ -317,7 +317,8 @@ def _salt_split(cfg: IndexConfig, range_size: int, hot_terms: set[str] | None):
 
 def _merge_compress(cfg: IndexConfig, n_docs: int, avgdl: float):
     """applyInPandas body per (term, salt): merge-sort partials, block-chunk,
-    delta+varint/FOR compress, per-block max BM25 score (B8/B13)."""
+    delta + varint/FOR compress (analytic per-block codec choice, one
+    vectorized encode pass per stream), per-block max BM25 score (B8/B13)."""
     k1, b, bs = cfg.k1, cfg.b, cfg.block_size
     n_buckets = cfg.n_term_buckets
 
@@ -326,36 +327,43 @@ def _merge_compress(cfg: IndexConfig, n_docs: int, avgdl: float):
         salt = int(pdf["salt"].iloc[0])
         df_t = int(pdf["df"].iloc[0])
         ids = np.concatenate([np.asarray(a, np.int64) for a in pdf["doc_ids"]])
-        tfs = np.concatenate([np.asarray(a, np.int32) for a in pdf["tfs"]])
-        dls = np.concatenate([np.asarray(a, np.int32) for a in pdf["dls"]])
+        tfs = np.concatenate([np.asarray(a, np.int64) for a in pdf["tfs"]])
+        dls = np.concatenate([np.asarray(a, np.int64) for a in pdf["dls"]])
         order = np.argsort(ids, kind="mergesort")
         ids, tfs, dls = ids[order], tfs[order], dls[order]
         idf_t = idf(n_docs, df_t)
         contrib = idf_t * bm25_tf_norm(tfs, dls, k1, b, avgdl)
         bucket = zlib.crc32(term.encode("utf-8")) % n_buckets
-        rows = {k.name: [] for k in POSTINGS_SCHEMA.fields}
-        n_blocks = math.ceil(len(ids) / bs)
-        for i in range(n_blocks):
-            lo, hi = i * bs, min((i + 1) * bs, len(ids))
-            bids, btfs, bdls = ids[lo:hi], tfs[lo:hi], dls[lo:hi]
-            ci, ebytes = encode_best(delta_encode(bids))
-            ct, tbytes = encode_best(btfs.astype(np.uint64))
-            cd, dbytes = encode_best(bdls.astype(np.uint64))
-            rows["term"].append(term)
-            rows["salt"].append(salt)
-            rows["block_seq"].append(i)
-            rows["n"].append(hi - lo)
-            rows["first_doc_id"].append(int(bids[0]))
-            rows["last_doc_id"].append(int(bids[-1]))
-            rows["max_score"].append(float(contrib[lo:hi].max()))
-            rows["codec_ids"].append(ci)
-            rows["ids_enc"].append(ebytes)
-            rows["codec_tfs"].append(ct)
-            rows["tfs_enc"].append(tbytes)
-            rows["codec_dls"].append(cd)
-            rows["dls_enc"].append(dbytes)
-            rows["bucket"].append(bucket)
-        return pd.DataFrame(rows)
+        n_post = len(ids)
+        starts = np.arange(0, n_post, bs, dtype=np.int64)
+        ends = np.append(starts[1:], n_post)
+        # delta with per-block absolute first value (self-contained blocks)
+        gaps = ids.astype(np.uint64).copy()
+        gaps[1:] = ids[1:].astype(np.uint64) - ids[:-1].astype(np.uint64)
+        gaps[starts] = ids[starts].astype(np.uint64)
+        ci, ebufs = encode_blocks(gaps, starts)
+        ct, tbufs = encode_blocks(tfs.astype(np.uint64), starts)
+        cd, dbufs = encode_blocks(dls.astype(np.uint64), starts)
+        max_scores = np.maximum.reduceat(contrib, starts)
+        nb = len(starts)
+        return pd.DataFrame(
+            {
+                "term": [term] * nb,
+                "salt": np.full(nb, salt, dtype=np.int32),
+                "block_seq": np.arange(nb, dtype=np.int32),
+                "n": (ends - starts).astype(np.int32),
+                "first_doc_id": ids[starts],
+                "last_doc_id": ids[ends - 1],
+                "max_score": max_scores,
+                "codec_ids": np.asarray(ci, dtype=np.int32),
+                "ids_enc": ebufs,
+                "codec_tfs": np.asarray(ct, dtype=np.int32),
+                "tfs_enc": tbufs,
+                "codec_dls": np.asarray(cd, dtype=np.int32),
+                "dls_enc": dbufs,
+                "bucket": np.full(nb, bucket, dtype=np.int32),
+            }
+        )
 
     return fn
 
@@ -408,6 +416,7 @@ def build_index(
     html payload is the dominant IO."""
     cfg = cfg or IndexConfig()
     t0 = time.time()
+    phases: dict[str, float] = {}
 
     # single corpus shuffle: partition by pid, sort so the newest crawl of
     # each url comes first; the fused mapInPandas then dedups, ranks and
@@ -468,6 +477,7 @@ def build_index(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl")
     ).collect()[0]
     n_docs, avgdl = int(g["n"]), float(g["avgdl"] or 0.0)
+    phases["spimi_and_doc_stats"] = round(time.time() - t0, 3)
 
     terms = (
         term_partials.groupBy("term")
@@ -478,9 +488,11 @@ def build_index(
     ).persist()
 
     hot_thr = cfg.hot_threshold(n_docs)
+    _t = time.time()
     hot_terms = {
         r["term"] for r in terms.filter(F.col("df") >= hot_thr).select("term").collect()
     }
+    phases["term_stats"] = round(time.time() - _t, 3)
     range_size = cfg.range_size(n_docs)
 
     # --- stage: salted merge + compress (B7/B8) -----------------------------
@@ -513,6 +525,7 @@ def build_index(
 
     # --- sinks + atomic publish (B9/A15) ------------------------------------
     def writer(vdir: str) -> dict:
+        _t = time.time()
         (
             postings.repartition(cfg.n_term_buckets, F.col("bucket"))
             .sortWithinPartitions("bucket", "term", "salt", "block_seq")
@@ -520,11 +533,14 @@ def build_index(
             .mode("overwrite")
             .parquet(os.path.join(vdir, "postings"))
         )
+        phases["merge_compress_write"] = round(time.time() - _t, 3)
+        _t = time.time()
         terms.withColumn("idf", F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))).write.mode(
             "overwrite"
         ).parquet(os.path.join(vdir, "terms"))
         docs.write.mode("overwrite").parquet(os.path.join(vdir, "docs"))
         metrics.write.mode("overwrite").parquet(os.path.join(vdir, "metrics"))
+        phases["aux_writes"] = round(time.time() - _t, 3)
         stats = {
             "n_docs": n_docs,
             "avgdl": avgdl,
@@ -537,6 +553,7 @@ def build_index(
             "range_size": range_size,
             "hot_threshold": hot_thr,
             "build_seconds": time.time() - t0,
+            "phase_seconds": phases,
         }
         with open(os.path.join(vdir, "stats.json"), "w") as f:
             json.dump(stats, f, indent=2)

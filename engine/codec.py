@@ -180,3 +180,50 @@ def delta_decode_blocks(gaps_concat: np.ndarray, ns) -> np.ndarray:
     starts = np.concatenate(([0], np.cumsum(ns[:-1])))
     base = s[starts] - gaps_concat[starts]
     return s - np.repeat(base, ns)
+
+
+def varint_sizes(values: np.ndarray) -> np.ndarray:
+    """Per-value LEB128 byte counts (analytic, no encoding)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    nbytes = np.ones(v.size, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += v >= t
+    return nbytes
+
+
+def encode_blocks(values: np.ndarray, starts: np.ndarray) -> tuple[list[int], list[bytes]]:
+    """Encode a group's value stream split into blocks at `starts` (index
+    array, first element 0). Codec choice per block is analytic (predicted
+    varint size vs FOR size — nothing encoded twice); varint blocks are
+    produced by ONE whole-group encode pass sliced at block byte offsets.
+    Returns (codecs, buffers) per block."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return [], []
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.append(starts[1:], n)
+    sizes = varint_sizes(v)
+    csum = np.concatenate(([0], np.cumsum(sizes)))
+    vi_block = csum[ends] - csum[starts]  # varint bytes per block
+    # FOR bytes per block: 1 header + ceil(len * bitwidth(max) / 8)
+    blk_max = np.maximum.reduceat(v, starts)
+    width = np.zeros(len(starts), dtype=np.int64)
+    nz = blk_max > 0
+    width[nz] = np.floor(np.log2(blk_max[nz].astype(np.float64))).astype(np.int64) + 1
+    # float log2 can undershoot near powers of two — fix up exactly
+    width[nz] += (blk_max[nz] >> width[nz].astype(np.uint64)) > 0
+    lens = ends - starts
+    fo_block = 1 + (lens * width + 7) // 8
+    use_for = fo_block < vi_block
+    full = varint_encode(v)
+    codecs: list[int] = []
+    bufs: list[bytes] = []
+    for i in range(len(starts)):
+        if use_for[i]:
+            codecs.append(CODEC_FOR)
+            bufs.append(for_encode(v[starts[i]:ends[i]]))
+        else:
+            codecs.append(CODEC_VARINT)
+            bufs.append(full[csum[starts[i]]:csum[ends[i]]])
+    return codecs, bufs

@@ -115,12 +115,16 @@ def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
     """Distinct token n-gram shingles per doc: posexplode + self-equi-joins
     expressed as array ops (JVM-side, no Python)."""
     toks = df.withColumn("toks", F.split("text", " "))
-    # shingle i = toks[i..i+2]; build via transform over index range
+    # shingle i = toks[i..i+2]; guard docs shorter than n (sequence would
+    # otherwise count downwards)
+    idx = F.when(
+        F.size("toks") >= n, F.sequence(F.lit(0), F.size("toks") - n)
+    ).otherwise(F.array().cast("array<int>"))
     sh = toks.withColumn(
         "shingle",
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.size("toks") - n),
+                idx,
                 lambda i: F.concat_ws(
                     " ", *[F.element_at("toks", (i + j + 1).cast("int")) for j in range(n)]
                 ),
