@@ -82,3 +82,42 @@ def tokenize_series(text: pd.Series) -> pd.Series:
 
 def doc_lengths(tokens: pd.Series) -> np.ndarray:
     return tokens.str.len().fillna(0).to_numpy(dtype=np.int64)
+
+
+# Sentinel token used by tokenize_flat to mark document boundaries in the
+# single-pass joined scan. It is itself a valid token (word chars) and is
+# removed from the output; a (pathological) document containing it verbatim
+# is handled by the per-doc fallback.
+_DOC_SENTINEL = "zzqxjdocsepvqkzz"
+
+
+def tokenize_flat(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Single-pass batch tokenizer: lowercase + findall over ONE joined
+    string (C-level, no per-row regex calls or intermediate Series), then
+    split back on sentinel positions. Returns (flat_tokens object array,
+    per-doc token counts). Semantically identical to tokenize() per doc —
+    asserted by tests and guarded by a fallback when the sentinel collides.
+    """
+    tl = [t if isinstance(t, str) else "" for t in texts]
+    n = len(tl)
+    if n == 0:
+        return np.empty(0, dtype=object), np.empty(0, dtype=np.int64)
+    joined = (" " + _DOC_SENTINEL + " ").join(tl)
+    flat = _TOKEN_RE.findall(joined.lower())
+    arr = np.asarray(flat, dtype=object)
+    bounds = np.flatnonzero(arr == _DOC_SENTINEL)
+    if len(bounds) != n - 1:  # sentinel collision — per-doc slow path
+        per_doc = [_TOKEN_RE.findall(t.lower()) for t in tl]
+        dls = np.asarray([len(p) for p in per_doc], dtype=np.int64)
+        flat_arr = (
+            np.concatenate([np.asarray(p, dtype=object) for p in per_doc])
+            if dls.sum()
+            else np.empty(0, dtype=object)
+        )
+        return flat_arr, dls
+    dls = np.diff(np.concatenate(([-1], bounds, [len(arr)]))) - 1
+    if len(bounds):
+        keep = np.ones(len(arr), dtype=bool)
+        keep[bounds] = False
+        arr = arr[keep]
+    return arr, dls.astype(np.int64)

@@ -45,7 +45,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import types as T
 
-from engine.analyzer import extract_series, tokenize_series
+from engine.analyzer import extract_series, tokenize_flat
 from engine.codec import bm25_tf_norm, encode_blocks, idf
 from engine.config import IndexConfig
 from engine.publish import atomic_publish, read_manifest
@@ -174,12 +174,8 @@ def _fused_spimi(cfg: IndexConfig, dedup: bool):
                 rank_ctr[pid] = int(ranks[sel][-1]) + 1
             doc_ids = ranks * P + pids
             text = extract_series(pdf["url"], pdf.get("html"), pdf["text"])
-            tokens = tokenize_series(text)
-            dls = tokens.str.len().fillna(0).to_numpy(dtype=np.int64)
+            flat_terms, dls = tokenize_flat(text.to_numpy(dtype=object))
             if dls.sum():
-                flat_terms = np.concatenate(
-                    [np.asarray(t, dtype=object) for t in tokens]
-                )
                 bcodes, buniq = pd.factorize(flat_terms, sort=False)
                 remap = np.empty(len(buniq), dtype=np.int64)
                 for j, tm in enumerate(buniq):
@@ -189,10 +185,10 @@ def _fused_spimi(cfg: IndexConfig, dedup: bool):
                         vocab[tm] = code
                         vocab_list.append(tm)
                     remap[j] = code
-                acc_codes.append(remap[bcodes])
+                acc_codes.append(remap[bcodes].astype(np.int32))
                 acc_docs.append(np.repeat(doc_ids, dls))
-                acc_pids.append(np.repeat(pids, dls))
-                acc_dls.append(np.repeat(dls, dls))
+                acc_pids.append(np.repeat(pids.astype(np.int32), dls))
+                acc_dls.append(np.repeat(dls.astype(np.int32), dls))
             url_arr = pdf["url"].to_numpy(dtype=object)
             lang_arr = (
                 pdf["lang"].to_numpy(dtype=object)
@@ -215,27 +211,31 @@ def _fused_spimi(cfg: IndexConfig, dedup: bool):
             docs_f = np.concatenate(acc_docs)
             dls_f = np.concatenate(acc_dls)
             pids_f = np.concatenate(acc_pids)
-            order = np.lexsort((docs_f, codes, pids_f))
-            codes, docs_f = codes[order], docs_f[order]
-            dls_f, pids_f = dls_f[order], pids_f[order]
-            # run boundaries at (pid, code, doc) change → tf per posting
-            change = np.empty(len(codes), dtype=bool)
+            # ONE stable argsort on a combined (pid, code) key: doc_ids are
+            # already ascending within each pid (rows arrive url-sorted), so
+            # stability gives doc-sorted runs for free — ~3x cheaper than a
+            # 3-key lexsort, which dominated this stage at 32 workers
+            V = np.int64(len(vocab_list))
+            key = pids_f.astype(np.int64) * V + codes
+            order = np.argsort(key, kind="stable")
+            key_s = key[order]
+            docs_f = docs_f[order]
+            dls_f = dls_f[order]
+            # run boundaries at (key, doc) change → tf per posting
+            change = np.empty(len(key_s), dtype=bool)
             change[0] = True
-            change[1:] = (
-                (codes[1:] != codes[:-1])
-                | (docs_f[1:] != docs_f[:-1])
-                | (pids_f[1:] != pids_f[:-1])
-            )
+            change[1:] = (key_s[1:] != key_s[:-1]) | (docs_f[1:] != docs_f[:-1])
             starts = np.flatnonzero(change)
-            tf = np.diff(np.append(starts, len(codes))).astype(np.int32)
+            tf = np.diff(np.append(starts, len(key_s))).astype(np.int32)
             p_doc = docs_f[starts]
             p_dl = dls_f[starts].astype(np.int32)
-            p_code = codes[starts]
-            p_pid = pids_f[starts]
+            p_key = key_s[starts]
+            p_code = (p_key % V).astype(np.int64)
+            p_pid = (p_key // V).astype(np.int64)
             # row boundaries at (pid, code) change
             rchange = np.empty(len(starts), dtype=bool)
             rchange[0] = True
-            rchange[1:] = (p_code[1:] != p_code[:-1]) | (p_pid[1:] != p_pid[:-1])
+            rchange[1:] = p_key[1:] != p_key[:-1]
             rstarts = np.flatnonzero(rchange).tolist() + [len(starts)]
             for a, bnd in zip(rstarts[:-1], rstarts[1:]):
                 out_rows["pid"].append(int(p_pid[a]))

@@ -74,3 +74,26 @@ def test_no_per_row_python_udf_in_engine():
         if fn.endswith(".py"):
             src = open(os.path.join(root, fn)).read()
             assert not bad.search(src), f"per-row udf( found in {fn}"
+
+
+def test_tokenize_flat_matches_per_doc():
+    import numpy as np
+
+    from engine.analyzer import _DOC_SENTINEL, tokenize, tokenize_flat
+
+    texts = [
+        "Spark JOIN the",
+        "",
+        None,
+        "über Café déjà-vu",
+        "a b  c",
+        f"evil {_DOC_SENTINEL} inside",  # sentinel collision → fallback
+    ]
+    flat, dls = tokenize_flat(texts)
+    want = [tokenize(t or "") for t in texts]
+    assert dls.tolist() == [len(w) for w in want]
+    assert flat.tolist() == [tok for w in want for tok in w]
+    # no-collision fast path
+    flat2, dls2 = tokenize_flat(texts[:5])
+    assert flat2.tolist() == [tok for w in want[:5] for tok in w]
+    assert dls2.tolist() == [len(w) for w in want[:5]]
