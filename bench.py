@@ -107,7 +107,7 @@ def main() -> None:
     lat_wand, lat_brute, lat_local = [], [], []
     # warm-up once (JIT/broadcast path)
     query_topk(spark, handle, "spark", k=10, mode="wand").collect()
-    query_topk(spark, handle, "spark", k=10, mode="local").collect()
+    query_topk(spark, handle, "spark", k=10, mode="auto").collect()
     for q in QUERIES:
         per = []
         for _ in range(reps):
@@ -122,10 +122,12 @@ def main() -> None:
         per = []
         for _ in range(reps):
             t1 = time.time()
-            query_topk(spark, handle, q, k=10, mode="local").collect()
+            # auto: driver-local fast path only when the pruned postings are
+            # small enough; distributed WAND otherwise
+            query_topk(spark, handle, q, k=10, mode="auto").collect()
             per.append(time.time() - t1)
         lat_local.extend(per)
-        timings[f"q_local:{q}"] = round(min(per), 4)
+        timings[f"q_auto:{q}"] = round(min(per), 4)
 
     # relational headliners for breadth
     from engine.relops import QUERIES as RELQ
@@ -150,7 +152,7 @@ def main() -> None:
         "build_docs_per_sec": round(n_docs / build_sec, 2),
         "query_p50_ms_wand": round(1000 * statistics.median(lat_wand), 2),
         "query_p50_ms_brute": round(1000 * statistics.median(lat_brute), 2),
-        "query_p50_ms_local": round(1000 * statistics.median(lat_local), 2),
+        "query_p50_ms_auto": round(1000 * statistics.median(lat_local), 2),
         "index_content_hash": content_hash,
         "postings_bytes": index_bytes,
     }

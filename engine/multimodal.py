@@ -92,3 +92,74 @@ def multimodal_meta(spark, sf_dir):
         F.count("*").alias("n"),
         F.round(F.avg("n_bytes"), 4).alias("avg_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# transform-stage plumbing: resize / frame-sample (decode stubbed, the
+# Spark-side schema/batching/partitioning is real — SURVEY.md §2.C
+# multimodal; the 100 TB image/video pipeline has exactly this shape)
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("thumb", T.BinaryType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in for PIL resize: production replaces this body;
+    the signature (bytes → bytes) and batch shape are the contract."""
+    return zlib.compress(payload, 1)[: max(16, (w * h) // 64)]
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "width": width,
+                    "height": height,
+                    "thumb": [_fake_resize(p, width, height) for p in pdf["html"]],
+                }
+            )
+
+    return media.select("url", "html").mapInPandas(fn, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000, n_frames: int = 3) -> DataFrame:
+    """Video frame sampling shape: one input row → n_frames output rows
+    (expansion inside the Arrow batch, no explode shuffle needed)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            urls, idxs, tss, frames = [], [], [], []
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                for i in range(n_frames):
+                    urls.append(url)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    # deterministic fake frame: slice of the payload
+                    frames.append(payload[i::n_frames][:64])
+            yield pd.DataFrame(
+                {"url": urls, "frame_idx": idxs, "frame_ts_ms": tss, "frame": frames}
+            )
+
+    return media.select("url", "html").mapInPandas(fn, FRAME_SCHEMA)

@@ -72,7 +72,7 @@ sandbox, per driver note); local[32] is reported as a reference point.
 {row('build throughput (docs/sec)', 'build_docs_per_sec')}
 {row('BM25 top-10 p50, WAND path (ms)', 'query_p50_ms_wand')}
 {row('BM25 top-10 p50, brute path (ms)', 'query_p50_ms_brute')}
-{row('BM25 top-10 p50, driver-local path (ms)', 'query_p50_ms_local')}
+{row('BM25 top-10 p50, auto path (ms)', 'query_p50_ms_auto')}
 {row('index content hash', 'index_content_hash')}
 
 **Scaling efficiency N->4N = (docs/sec@{n4}) / (4 x docs/sec@{n}) =

@@ -1,0 +1,45 @@
+"""Multimodal plumbing tests: binary columns through Arrow-batched decode /
+resize / frame-sample stages (decode itself stubbed — no media libs in the
+container; SURVEY.md §2.C multimodal)."""
+
+from __future__ import annotations
+
+import pytest
+
+from engine.multimodal import (
+    extract_audio_features,
+    media_metadata,
+    resize_images,
+    sample_frames,
+)
+from engine.webpages import load_webpages
+from tests.conftest import SF_DIR_001
+
+
+def test_media_metadata_schema_and_determinism(spark):
+    wp = load_webpages(spark, SF_DIR_001).limit(100)
+    meta = media_metadata(wp)
+    rows = {r["url"]: (r["n_bytes"], r["checksum"], r["width"], r["height"])
+            for r in meta.collect()}
+    assert len(rows) == 100
+    rows2 = {r["url"]: (r["n_bytes"], r["checksum"], r["width"], r["height"])
+             for r in media_metadata(wp).collect()}
+    assert rows == rows2  # deterministic
+    assert all(v[0] > 26 for v in rows.values())
+
+
+def test_resize_and_frame_sample_shapes(spark):
+    wp = load_webpages(spark, SF_DIR_001).limit(20)
+    th = resize_images(wp, 32, 32)
+    rows = th.collect()
+    assert len(rows) == 20
+    assert all(isinstance(r["thumb"], (bytes, bytearray)) for r in rows)
+    fr = sample_frames(wp, every_ms=500, n_frames=3)
+    frows = fr.collect()
+    assert len(frows) == 60  # 1 row → 3 frames
+    assert {r["frame_ts_ms"] for r in frows} == {0, 500, 1000}
+
+
+def test_real_decode_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        extract_audio_features(b"RIFF....")
