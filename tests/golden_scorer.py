@@ -63,7 +63,10 @@ class BruteForceBM25:
             return []
         scores: dict[int, float] = defaultdict(float)
         hits: dict[int, int] = defaultdict(int)
-        for t in terms:  # fixed term order → deterministic float sums
+        # canonical float-sum order = SORTED terms (matches the engine's
+        # local/WAND paths exactly — float addition is not associative and
+        # a last-ulp difference can flip an exact-tie ranking)
+        for t in sorted(terms):
             idf_t = self.idf(t)
             for did, tf in self.tf[t].items():
                 dl = self.dl[did]

@@ -69,7 +69,7 @@ def _brute(corpus, tf, dls, avgdl, terms, conjunctive):
     n_docs = len(corpus)
     scores: dict[int, float] = {}
     hits: dict[int, int] = {}
-    for t in terms:
+    for t in sorted(terms, key=str):  # canonical sorted-term sum order
         posts = tf.get(t, {})
         idf_t = idf(n_docs, len(posts))
         for did, f in posts.items():
