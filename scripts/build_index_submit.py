@@ -50,6 +50,11 @@ def main() -> None:
     cfg = IndexConfig(**kw)
 
     wp = spark.read.parquet(args.input)
+    if "url" not in wp.columns and {"doc_id", "source", "text"} <= set(wp.columns):
+        # fixture `documents` shape → derive the canonical webpages table
+        from engine.webpages import to_webpages
+
+        wp = to_webpages(wp)
     handle = build_index(
         spark, wp, args.index_dir, cfg,
         checkpoint_dir=args.checkpoint_dir,
