@@ -535,6 +535,23 @@ def build_index(
         )
         phases["merge_compress_write"] = round(time.time() - _t, 3)
         _t = time.time()
+        # per-write-task byte/block metrics (B15: doc/term/byte metrics):
+        # one row per term bucket = one written partition
+        (
+            spark.read.parquet(os.path.join(vdir, "postings"))
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_blocks"),
+                F.sum("n").alias("n_postings"),
+                F.sum(
+                    F.octet_length("ids_enc")
+                    + F.octet_length("tfs_enc")
+                    + F.octet_length("dls_enc")
+                ).alias("encoded_bytes"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(vdir, "bucket_metrics"))
+        )
         terms.withColumn("idf", F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))).write.mode(
             "overwrite"
         ).parquet(os.path.join(vdir, "terms"))

