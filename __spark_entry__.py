@@ -20,6 +20,37 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+# The driver evaluates queries() entries in registration order and may cap
+# how many it runs per round; the engine's signature operators (index/BM25,
+# snapshot reads, dedup, ANN, streaming, text analysis) are listed first so
+# they always land inside the window, followed by a representative slice of
+# the relational surface, then the remaining relational entries.
+_PRIORITY = [
+    # inverted-index / BM25 core (north rule)
+    "bm25_topk_wand", "bm25_topk_wand_cold", "bm25_topk_auto",
+    "bm25_topk_disjunctive", "bm25_topk_stopword", "bm25_topk_single",
+    "bm25_conjunctive",
+    "index_term_stats", "index_doc_lengths", "index_postings_blocks",
+    "facets_lang", "latest_crawl_dedup",
+    "index_snapshot_pinned", "index_snapshot_diff", "es_bulk_lines",
+    # LLM-training-data pipeline operators
+    "dedup_exact", "dedup_jaccard_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "ann_cosine_topk", "ann_lsh_topk", "dedup_embedding_cosine",
+    "text_token_count", "text_quality", "doc_fingerprint", "text_langid",
+    "multimodal_meta",
+    # streaming surface
+    "stream_tumbling_window", "stream_sliding_window", "stream_session_window",
+    "stream_dedup", "stream_static_join",
+    # representative relational slice (the rest follows in original order)
+    "scan_project_filter", "filter_predicates", "filter_string_ops",
+    "join_broadcast_dims", "join_smj_fact", "join_left_outer", "join_anti",
+    "join_range_events", "join_asof_events", "join_skew_salted",
+    "agg_tpch_q1", "agg_rollup", "agg_cube", "agg_nested_collect",
+    "win_topk_per_group", "win_lag_sessions", "sort_topk_global",
+    "set_except_all", "udf_pandas_scalar", "udtf_token_expand",
+]
+
+
 def _registry():
     import engine.multimodal  # noqa: F401
     import engine.searchops  # noqa: F401
@@ -28,7 +59,12 @@ def _registry():
     import engine.textops  # noqa: F401
     from engine.relops import ORACLES, QUERIES
 
-    return QUERIES, ORACLES
+    missing = [n for n in _PRIORITY if n not in QUERIES]
+    assert not missing, f"priority entries not registered: {missing}"
+    ordered = {n: QUERIES[n] for n in _PRIORITY}
+    ordered.update({n: f for n, f in QUERIES.items() if n not in ordered})
+    oracles = {n: ORACLES[n] for n in ordered if n in ORACLES}
+    return ordered, oracles
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -64,6 +64,9 @@ PARTIALS_SCHEMA = T.StructType(
         # docmap payload, set only on the pseudo row (term = "")
         T.StructField("urls", T.ArrayType(T.StringType())),
         T.StructField("langs", T.ArrayType(T.StringType())),
+        # per-doc extracted-text fingerprint (vectorized 64-bit hash) —
+        # backs snapshot-diff change detection (docs_changed_between)
+        T.StructField("fps", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -88,10 +91,12 @@ POSTINGS_SCHEMA = T.StructType(
 
 
 def latest_crawl(webpages: DataFrame) -> DataFrame:
-    """Keep only the newest crawl per url (A9: dedup-to-latest; tie-break on
-    the larger text to stay deterministic if warc_ts ties)."""
+    """Keep only the newest crawl per url (A9: dedup-to-latest; ties broken
+    by larger text then by content hash, so the winner is a pure function of
+    the row set — the byte-identical-index determinism invariant holds even
+    for equal-ts equal-length crawls with different content)."""
     w = Window.partitionBy("url").orderBy(
-        F.desc("warc_ts"), F.desc(F.length("text"))
+        F.desc("warc_ts"), F.desc(F.length("text")), F.desc(F.md5("text"))
     )
     return (
         webpages.withColumn("_rn", F.row_number().over(w))
@@ -150,6 +155,7 @@ def _fused_spimi(cfg: IndexConfig, dedup: bool):
         dls_all: dict[int, list[np.ndarray]] = {}
         urls_all: dict[int, list[np.ndarray]] = {}
         langs_all: dict[int, list[np.ndarray]] = {}
+        fps_all: dict[int, list[np.ndarray]] = {}
         rank_ctr: dict[int, int] = {}
         last_url: str | None = None
         for pdf in batches:
@@ -195,6 +201,13 @@ def _fused_spimi(cfg: IndexConfig, dedup: bool):
                 if "lang" in pdf.columns
                 else np.full(len(pdf), None, dtype=object)
             )
+            # vectorized 64-bit content fingerprint of the extracted text
+            # (deterministic: fixed default hash key) — docmap lineage column
+            fp_arr = (
+                pd.util.hash_pandas_object(text, index=False)
+                .to_numpy(np.uint64)
+                .view(np.int64)
+            )
             for pid in np.unique(pids):
                 pid = int(pid)
                 sel_doc = pids == pid
@@ -202,9 +215,10 @@ def _fused_spimi(cfg: IndexConfig, dedup: bool):
                 dls_all.setdefault(pid, []).append(dls[sel_doc])
                 urls_all.setdefault(pid, []).append(url_arr[sel_doc])
                 langs_all.setdefault(pid, []).append(lang_arr[sel_doc])
+                fps_all.setdefault(pid, []).append(fp_arr[sel_doc])
         out_rows: dict[str, list] = {
             "pid": [], "term": [], "doc_ids": [], "tfs": [], "dls": [],
-            "urls": [], "langs": [],
+            "urls": [], "langs": [], "fps": [],
         }
         if acc_codes:
             codes = np.concatenate(acc_codes)
@@ -245,6 +259,7 @@ def _fused_spimi(cfg: IndexConfig, dedup: bool):
                 out_rows["dls"].append(p_dl[a:bnd])
                 out_rows["urls"].append(None)
                 out_rows["langs"].append(None)
+                out_rows["fps"].append(None)
         for pid, ids in doc_ids_all.items():
             out_rows["pid"].append(pid)
             out_rows["term"].append(DOC_PSEUDO_TERM)
@@ -254,6 +269,7 @@ def _fused_spimi(cfg: IndexConfig, dedup: bool):
             out_rows["dls"].append(dl_cat)
             out_rows["urls"].append(np.concatenate(urls_all[pid]))
             out_rows["langs"].append(np.concatenate(langs_all[pid]))
+            out_rows["fps"].append(np.concatenate(fps_all[pid]))
         if out_rows["pid"]:  # empty partitions yield nothing (pandas gives
             yield pd.DataFrame(out_rows)  # empty cols float64 → Arrow error
 
@@ -269,48 +285,55 @@ def _salt_split(cfg: IndexConfig, range_size: int, hot_terms: set[str] | None):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            out = {
-                "pid": [],
-                "term": [],
-                "salt": [],
-                "df": [],
-                "doc_ids": [],
-                "tfs": [],
-                "dls": [],
-            }
-            for row in pdf.itertuples(index=False):
-                ids = np.asarray(row.doc_ids, dtype=np.int64)
-                hot = hot_terms is None or row.term in hot_terms
-                if not hot:
-                    out["pid"].append(row.pid)
-                    out["term"].append(row.term)
-                    out["salt"].append(0)
-                    out["df"].append(row.df)
-                    out["doc_ids"].append(ids)
-                    out["tfs"].append(np.asarray(row.tfs, dtype=np.int32))
-                    out["dls"].append(np.asarray(row.dls, dtype=np.int32))
-                    continue
-                salts = ids // range_size
-                order = np.argsort(salts, kind="stable")
-                ids_o = ids[order]
-                tfs_o = np.asarray(row.tfs, dtype=np.int32)[order]
-                dls_o = np.asarray(row.dls, dtype=np.int32)[order]
-                salts_o = salts[order]
-                cuts = np.flatnonzero(np.diff(salts_o)) + 1
-                for seg_ids, seg_tfs, seg_dls in zip(
-                    np.split(ids_o, cuts),
-                    np.split(tfs_o, cuts),
-                    np.split(dls_o, cuts),
-                ):
-                    out["pid"].append(row.pid)
-                    out["term"].append(row.term)
-                    out["salt"].append(int(seg_ids[0] // range_size) + 1)
-                    out["df"].append(row.df)
-                    out["doc_ids"].append(seg_ids)
-                    out["tfs"].append(seg_tfs)
-                    out["dls"].append(seg_dls)
-            if out["pid"]:
-                yield pd.DataFrame(out)
+            # vectorized over the whole batch: flatten every partial's
+            # posting arrays once, compute per-posting salt keys, and cut at
+            # (row, salt) boundaries. Postings inside a partial are already
+            # doc-sorted (SPIMI emits sorted runs), so salts are monotonic
+            # within a row — boundary detection needs no sort.
+            nrows = len(pdf)
+            lens = pdf["doc_ids"].map(len).to_numpy(np.int64)
+            ids_f = np.concatenate(
+                [np.asarray(a, np.int64) for a in pdf["doc_ids"]]
+            )
+            tfs_f = np.concatenate(
+                [np.asarray(a, np.int32) for a in pdf["tfs"]]
+            )
+            dls_f = np.concatenate(
+                [np.asarray(a, np.int32) for a in pdf["dls"]]
+            )
+            row_of = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+            if hot_terms is None:
+                hot_row = np.ones(nrows, dtype=bool)
+            else:
+                hot_row = pdf["term"].isin(hot_terms).to_numpy()
+            salt_f = np.where(
+                hot_row[row_of], ids_f // range_size + 1, 0
+            ).astype(np.int64)
+            boundary = np.empty(len(ids_f), dtype=bool)
+            if len(ids_f):
+                boundary[0] = True
+                boundary[1:] = (row_of[1:] != row_of[:-1]) | (
+                    salt_f[1:] != salt_f[:-1]
+                )
+            starts = np.flatnonzero(boundary)
+            seg_row = row_of[starts]
+            pid_arr = pdf["pid"].to_numpy()[seg_row]
+            term_arr = pdf["term"].to_numpy(object)[seg_row]
+            df_arr = pdf["df"].to_numpy()[seg_row]
+            cuts = starts[1:]
+            out = pd.DataFrame(
+                {
+                    "pid": pid_arr,
+                    "term": term_arr,
+                    "salt": salt_f[starts].astype(np.int32),
+                    "df": df_arr,
+                    "doc_ids": np.split(ids_f, cuts),
+                    "tfs": np.split(tfs_f, cuts),
+                    "dls": np.split(dls_f, cuts),
+                }
+            )
+            if len(out):
+                yield out
 
     return fn
 
@@ -391,12 +414,42 @@ class IndexHandle:
         return os.path.join(self.version_dir, "metrics")
 
 
-def open_index(path: str) -> IndexHandle:
-    manifest = read_manifest(path)
+def open_index(path: str, version: str | None = None) -> IndexHandle:
+    """Open the current index version, or pin a historical snapshot
+    (Iceberg `VERSION AS OF` analog — the snapshot log keeps every published
+    version readable while new builds land; engine.publish)."""
+    manifest = read_manifest(path, version=version)
     vdir = os.path.join(path, manifest["version"])
     with open(os.path.join(vdir, "stats.json")) as f:
         stats = json.load(f)
     return IndexHandle(path=path, version_dir=vdir, stats=stats)
+
+
+def docs_changed_between(
+    spark: SparkSession, path: str, from_version: str, to_version: str | None = None
+) -> DataFrame:
+    """Incremental read (A3 generalized / Iceberg incremental-scan analog):
+    the docs added or whose content-bearing stats changed between two
+    snapshots, keyed by url. A downstream consumer resuming from
+    `from_version` re-processes exactly these rows. Change detection keys on
+    the per-doc extracted-text fingerprint (docs.text_fp, a pure function of
+    the text); doc_id is version-local and deliberately not compared."""
+    old = open_index(path, from_version)
+    new = open_index(path, to_version)
+    old_docs = spark.read.parquet(old.docs_path).select(
+        "url", F.col("text_fp").alias("_old_fp")
+    )
+    new_docs = spark.read.parquet(new.docs_path).select("url", "dl", "text_fp")
+    joined = new_docs.join(old_docs, "url", "left")
+    return joined.filter(
+        F.col("_old_fp").isNull() | (F.col("_old_fp") != F.col("text_fp"))
+    ).select(
+        "url",
+        "dl",
+        F.when(F.col("_old_fp").isNull(), F.lit("added"))
+        .otherwise(F.lit("changed"))
+        .alias("change"),
+    )
 
 
 def build_index(
@@ -440,7 +493,11 @@ def build_index(
             input_cols.append(opt)
     sort_keys = [F.asc("url")]
     if dedup_latest and "warc_ts" in pre.columns:
-        sort_keys += [F.desc("warc_ts"), F.desc(F.length("text"))]
+        # same full tie-break chain as latest_crawl (content hash last) so
+        # the kept row is deterministic for any input row set
+        sort_keys += [
+            F.desc("warc_ts"), F.desc(F.length("text")), F.desc(F.md5("text"))
+        ]
     spimi_input = (
         pre.select(*input_cols)
         .repartition(P, "pid")
@@ -465,13 +522,14 @@ def build_index(
     # --- stage: stats (B5/B6): docmap rides the pseudo rows -----------------
     docs = doc_rows.select(
         F.col("pid"),
-        F.explode(F.arrays_zip("doc_ids", "tfs", "urls", "langs")).alias("z"),
+        F.explode(F.arrays_zip("doc_ids", "tfs", "urls", "langs", "fps")).alias("z"),
     ).select(
         "pid",
         F.col("z.doc_ids").alias("doc_id"),
         F.col("z.tfs").cast("int").alias("dl"),
         F.col("z.urls").alias("url"),
         F.col("z.langs").alias("lang"),
+        F.col("z.fps").alias("text_fp"),
     ).persist()
     g = docs.agg(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl")
@@ -625,5 +683,6 @@ def _checkpointed_partials(
     out = spark.read.parquet(ckpt_path)
     # partitionBy moved pid to a partition column; restore column order/types
     return out.select(
-        F.col("pid").cast("int"), "term", "doc_ids", "tfs", "dls", "urls", "langs"
+        F.col("pid").cast("int"), "term", "doc_ids", "tfs", "dls", "urls",
+        "langs", "fps",
     )

@@ -228,13 +228,15 @@ def flatten_filebrowser(donors: DataFrame) -> DataFrame:
     )
 
 
-def to_es_bulk(donors: DataFrame, doc_type: str = "meta") -> DataFrame:
+def to_es_bulk(
+    donors: DataFrame, doc_type: str = "meta", id_col: str = "donor_uuid"
+) -> DataFrame:
     """A13: ES bulk JSONL — alternating action/doc lines, one string column
     (written with df.write.text for byte-compat with the reference's
     elasticsearch.jsonl)."""
     action = F.concat(
         F.lit('{"index":{"_id":"'),
-        F.coalesce(F.col("donor_uuid"), F.lit("")),
+        F.coalesce(F.col(id_col).cast("string"), F.lit("")),
         F.lit(f'","_type":"{doc_type}"}}}}'),
     )
     doc = F.to_json(F.struct(*donors.columns))

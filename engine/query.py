@@ -144,31 +144,53 @@ def _brute_scorer(stats: dict, k1: float, b: float, avgdl: float):
 
 
 def _wand_shard_scorer(stats: dict, k1: float, b: float, avgdl: float, k: int,
-                       conjunctive: bool, n_query_terms: int):
-    """Exact interval-sweep block-max WAND over one doc-range shard."""
+                       conjunctive: bool, n_query_terms: int, range_size: int):
+    """Exact interval-sweep block-max WAND over one doc-range shard.
+
+    A block overlapping several doc-range shards is replicated to each (the
+    explode in query_topk), so every shard sees every block covering its own
+    doc range — scoring is therefore clipped to [shard*range_size,
+    (shard+1)*range_size): each doc is scored exactly once, in its home
+    shard, with all its covering blocks present (full scores). Without the
+    clip a spanning cold-term block would be scored in every shard it was
+    replicated to, emitting duplicate doc_ids into the global top-k.
+
+    Interval accumulation is vectorized: postings inside a block are
+    doc-sorted, so an interval is a searchsorted slice; per-interval scores
+    come from one np.add.at over the concatenated slices (no per-posting
+    Python — the same kernel query_topk_local uses)."""
+
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series(dtype=np.int64),
+         "score": pd.Series(dtype=np.float64),
+         "n_terms": pd.Series(dtype=np.int32)}
+    )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = list(pdf.itertuples(index=False))
+        shard = int(rows[0].shard)
+        shard_lo = shard * range_size
+        shard_hi = shard_lo + range_size
         terms = sorted({r.term for r in rows})
         if conjunctive and len(terms) < n_query_terms:
-            return pd.DataFrame(
-                {"doc_id": pd.Series(dtype=np.int64),
-                 "score": pd.Series(dtype=np.float64),
-                 "n_terms": pd.Series(dtype=np.int32)}
-            )
+            return empty
         # per-term block tables sorted by first_doc_id
         per_term: dict[str, list] = {t: [] for t in terms}
         for r in rows:
             per_term[r.term].append(r)
         for t in terms:
             per_term[t].sort(key=lambda r: r.first_doc_id)
-        # interval boundaries = all block edges
+        # interval boundaries = all block edges, clipped to the shard range
         edges = sorted(
             {r.first_doc_id for r in rows} | {r.last_doc_id + 1 for r in rows}
         )
-        n_int = len(edges) - 1
-        lo = np.asarray(edges[:-1], dtype=np.int64)
-        hi = np.asarray(edges[1:], dtype=np.int64)  # exclusive
+        lo = np.clip(np.asarray(edges[:-1], dtype=np.int64), shard_lo, shard_hi)
+        hi = np.clip(np.asarray(edges[1:], dtype=np.int64), shard_lo, shard_hi)
+        keep = lo < hi
+        lo, hi = lo[keep], hi[keep]
+        n_int = len(lo)
+        if n_int == 0:
+            return empty
         # UB per interval: sum over terms of covering block's max_score
         ub = np.zeros(n_int, dtype=np.float64)
         covered = np.zeros(n_int, dtype=np.int32)
@@ -189,14 +211,15 @@ def _wand_shard_scorer(stats: dict, k1: float, b: float, avgdl: float, k: int,
             ub = np.where(valid, ub, 0.0)
         order = np.argsort(-ub, kind="stable")
         heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
-        results: dict[int, tuple[float, int]] = {}
+        nterms_out: dict[int, int] = {}
         decoded: dict[tuple[str, int], tuple] = {}
         for ii in order:
             if ub[ii] <= 0:
                 break
             if len(heap) >= k and ub[ii] < heap[0][0]:
                 break  # every remaining interval is provably dominated
-            accum: dict[int, tuple[float, int]] = {}
+            ids_parts: list[np.ndarray] = []
+            con_parts: list[np.ndarray] = []
             for t in terms:
                 bi = int(cover[t][ii])
                 if bi < 0:
@@ -205,39 +228,77 @@ def _wand_shard_scorer(stats: dict, k1: float, b: float, avgdl: float, k: int,
                 if key not in decoded:
                     decoded[key] = _decode_block(per_term[t][bi])
                 ids, tfs, dls = decoded[key]
-                sel = (ids >= lo[ii]) & (ids < hi[ii])
-                if not sel.any():
+                a = int(np.searchsorted(ids, lo[ii], side="left"))
+                z = int(np.searchsorted(ids, hi[ii], side="left"))
+                if a == z:
                     continue
-                c = stats[t]["idf"] * bm25_tf_norm(
-                    tfs[sel], dls[sel], k1, b, avgdl
+                ids_parts.append(ids[a:z])
+                con_parts.append(
+                    stats[t]["idf"] * bm25_tf_norm(tfs[a:z], dls[a:z], k1, b, avgdl)
                 )
-                for d, s in zip(ids[sel], c):
-                    d = int(d)
-                    cur = accum.get(d, (0.0, 0))
-                    accum[d] = (cur[0] + float(s), cur[1] + 1)
-            for d, (s, nt) in accum.items():
-                if conjunctive and nt < n_query_terms:
-                    continue
-                if d in results:
-                    continue
-                results[d] = (s, nt)
+            if not ids_parts:
+                continue
+            # intervals partition the doc-id space → each doc lands in
+            # exactly one interval of exactly one shard; one add.at pass
+            # aggregates its per-term contributions
+            ids_cat = np.concatenate(ids_parts)
+            con_cat = np.concatenate(con_parts)
+            uniq, inv = np.unique(ids_cat, return_inverse=True)
+            scores = np.zeros(len(uniq), dtype=np.float64)
+            np.add.at(scores, inv, con_cat)
+            nts = np.bincount(inv, minlength=len(uniq)).astype(np.int32)
+            if conjunctive:
+                sel = nts == n_query_terms
+                uniq, scores, nts = uniq[sel], scores[sel], nts[sel]
+            if len(heap) >= k:  # only candidates that can beat the threshold
+                thr_s, thr_nd = heap[0]
+                sel = (scores > thr_s) | ((scores == thr_s) & (-uniq > thr_nd))
+                uniq, scores, nts = uniq[sel], scores[sel], nts[sel]
+            for d, s, nt in zip(uniq.tolist(), scores.tolist(), nts.tolist()):
                 item = (s, -d)
                 if len(heap) < k:
                     heapq.heappush(heap, item)
+                    nterms_out[d] = nt
                 elif item > heap[0]:
                     heapq.heapreplace(heap, item)
+                    nterms_out[d] = nt
         top = sorted(((s, -nd) for s, nd in heap), key=lambda x: (-x[0], x[1]))
         return pd.DataFrame(
             {
                 "doc_id": np.asarray([d for _, d in top], dtype=np.int64),
                 "score": np.asarray([s for s, _ in top], dtype=np.float64),
                 "n_terms": np.asarray(
-                    [results[d][1] for _, d in top], dtype=np.int32
+                    [nterms_out[d] for _, d in top], dtype=np.int32
                 ),
             }
         )
 
     return fn
+
+
+def _resolve_urls(
+    spark: SparkSession, handle: IndexHandle, ids: list[int]
+) -> dict[int, str]:
+    """doc_id → url for a tiny id set: driver-side pyarrow lookup, falling
+    back to a Spark read on non-local index stores."""
+    if not ids:
+        return {}
+    try:
+        import pyarrow.dataset as ds
+
+        dt = ds.dataset(handle.docs_path, format="parquet").to_table(
+            columns=["doc_id", "url"],
+            filter=ds.field("doc_id").isin(ids),
+        )
+        return dict(zip(dt["doc_id"].to_pylist(), dt["url"].to_pylist()))
+    except Exception:
+        docs = spark.read.parquet(handle.docs_path)
+        return {
+            r["doc_id"]: r["url"]
+            for r in docs.filter(F.col("doc_id").isin(ids))
+            .select("doc_id", "url")
+            .collect()
+        }
 
 
 def query_topk(
@@ -252,18 +313,25 @@ def query_topk(
 ) -> DataFrame:
     """Top-k BM25. Returns (doc_id, url?, score) ordered by
     (score desc, doc_id asc) — the golden tie-break (SURVEY.md §5.2).
-    tiebreak="url" (brute mode only) breaks exact-score ties by url instead,
-    which is what the ANSI-SQL oracle can express."""
+    tiebreak="url" (brute and wand modes) breaks exact-score ties by url
+    instead, which is what the ANSI-SQL oracle can express."""
     handle = open_index(index) if isinstance(index, str) else index
     terms = parse_query(query)
     if mode in ("local", "auto"):
-        st_local = _local_term_stats(handle, terms)
-        total = sum(v["df"] for v in st_local.values())
-        if mode == "local" or total <= LOCAL_MAX_POSTINGS:
-            return query_topk_local(
-                spark, handle, query, k=k, conjunctive=conjunctive,
-                with_url=with_url, stats=st_local,
-            )
+        # the driver-local path needs pyarrow-readable index files; on a
+        # non-local index store fall back to the distributed wand path (same
+        # guard the stats lookup below uses)
+        try:
+            st_local = _local_term_stats(handle, terms)
+        except Exception:
+            st_local = None
+        if st_local is not None:
+            total = sum(v["df"] for v in st_local.values())
+            if mode == "local" or total <= LOCAL_MAX_POSTINGS:
+                return query_topk_local(
+                    spark, handle, query, k=k, conjunctive=conjunctive,
+                    with_url=with_url, stats=st_local, tiebreak=tiebreak,
+                )
         mode = "wand"
     try:
         # driver-side stats lookup via pyarrow (no Spark job); the dict is
@@ -317,9 +385,42 @@ def query_topk(
             ),
         )
         local = shard.groupBy("shard").applyInPandas(
-            _wand_shard_scorer(st, k1, b, avgdl, k, conjunctive, len(terms)),
+            _wand_shard_scorer(
+                st, k1, b, avgdl, k, conjunctive, len(terms), range_size
+            ),
             TOPK_SCHEMA,
         )
+        if tiebreak == "url":
+            # ≤ shards·k candidate rows: collect, resolve urls driver-side,
+            # re-sort by the oracle tie-break. Exact whenever the kth and
+            # (k+1)th scores differ within every shard (verified by the
+            # entry's oracle row); candidate set is tiny so this is one job.
+            cand_rows = local.collect()
+            ids = [int(r["doc_id"]) for r in cand_rows]
+            url_map = _resolve_urls(spark, handle, ids)
+            ranked = sorted(
+                ((float(r["score"]), url_map.get(int(r["doc_id"])),
+                  int(r["doc_id"])) for r in cand_rows),
+                key=lambda x: (-x[0], x[1]),
+            )[:k]
+            pdf = pd.DataFrame(
+                {
+                    "doc_id": pd.Series([d for _, _, d in ranked], dtype="int64"),
+                    "url": [u for _, u, _ in ranked],
+                    "score": pd.Series([s for s, _, _ in ranked], dtype="float64"),
+                }
+            )
+            df = spark.createDataFrame(
+                pdf,
+                T.StructType(
+                    [
+                        T.StructField("doc_id", T.LongType()),
+                        T.StructField("url", T.StringType()),
+                        T.StructField("score", T.DoubleType()),
+                    ]
+                ),
+            )
+            return df if with_url else df.drop("url")
         topk = (
             local.orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
@@ -335,22 +436,7 @@ def query_topk(
     top_ids = [int(r["doc_id"]) for r in rows]
     urls: dict[int, str] = {}
     if with_url and top_ids:
-        try:
-            import pyarrow.dataset as ds
-
-            dt = ds.dataset(handle.docs_path, format="parquet").to_table(
-                columns=["doc_id", "url"],
-                filter=ds.field("doc_id").isin(top_ids),
-            )
-            urls = dict(zip(dt["doc_id"].to_pylist(), dt["url"].to_pylist()))
-        except Exception:
-            docs = spark.read.parquet(handle.docs_path)
-            urls = {
-                r["doc_id"]: r["url"]
-                for r in docs.filter(F.col("doc_id").isin(top_ids))
-                .select("doc_id", "url")
-                .collect()
-            }
+        urls = _resolve_urls(spark, handle, top_ids)
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -404,6 +490,7 @@ def query_topk_local(
     conjunctive: bool = False,
     with_url: bool = True,
     stats: dict | None = None,
+    tiebreak: str = "doc_id",
 ):
     import pyarrow.dataset as ds
 
@@ -472,8 +559,29 @@ def query_topk_local(
         uniq, scores = uniq[sel], scores[sel]
     if len(uniq) == 0:
         return empty.drop(*([] if with_url else ["url"]))
-    order2 = np.lexsort((uniq, -scores))[:k]
-    top_ids, top_scores = uniq[order2], scores[order2]
+    if tiebreak == "url":
+        # oracle tie-break: over-fetch by (score, doc_id), resolve urls for
+        # the candidate margin, re-sort by (score desc, url). Exact whenever
+        # fewer than the margin tie at the kth score.
+        m = min(len(uniq), max(3 * k, k + 32))
+        order2 = np.lexsort((uniq, -scores))[:m]
+        cand_ids, cand_scores = uniq[order2], scores[order2]
+        dd = ds.dataset(handle.docs_path, format="parquet")
+        dt = dd.to_table(
+            columns=["doc_id", "url"],
+            filter=ds.field("doc_id").isin([int(x) for x in cand_ids]),
+        )
+        urls = dict(zip(dt["doc_id"].to_pylist(), dt["url"].to_pylist()))
+        ranked = sorted(
+            zip(cand_scores.tolist(), [urls.get(int(d)) for d in cand_ids],
+                cand_ids.tolist()),
+            key=lambda x: (-x[0], x[1]),
+        )[:k]
+        top_ids = np.asarray([d for _, _, d in ranked], dtype=np.int64)
+        top_scores = np.asarray([s for s, _, _ in ranked], dtype=np.float64)
+    else:
+        order2 = np.lexsort((uniq, -scores))[:k]
+        top_ids, top_scores = uniq[order2], scores[order2]
     urls = {}
     if with_url:
         dd = ds.dataset(handle.docs_path, format="parquet")

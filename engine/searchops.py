@@ -18,7 +18,7 @@ from engine.build import IndexHandle, build_index
 from engine.config import IndexConfig
 from engine.query import query_topk
 from engine.relops import register
-from engine.webpages import load_webpages
+from engine.webpages import load_webpages, with_recrawl
 
 _INDEX_CACHE: dict[str, IndexHandle] = {}
 
@@ -84,6 +84,43 @@ bm25_topk_disjunctive = _bm25_entry("bm25_topk_disjunctive", "spark join")
 bm25_topk_stopword = _bm25_entry("bm25_topk_stopword", "the data")
 bm25_topk_single = _bm25_entry("bm25_topk_single", "vector")
 bm25_conjunctive = _bm25_entry("bm25_conjunctive", "window agg", conjunctive=True)
+
+
+@register("bm25_topk_wand", _bm25_sql("sort merge join".split(), 10))
+def bm25_topk_wand(spark, sf_dir):
+    """The north-star operator itself on the driver oracle: block-max WAND
+    (mode='wand' — distributed shard sweep with pruning), not the brute
+    fallback the other bm25 entries exercise (B14)."""
+    h = get_index(spark, sf_dir)
+    out = query_topk(
+        spark, h, "sort merge join", k=10, mode="wand", with_url=True,
+        tiebreak="url",
+    )
+    return out.select("url", F.round("score", 4).alias("score"))
+
+
+@register("bm25_topk_auto", _bm25_sql("big data table".split(), 10))
+def bm25_topk_auto(spark, sf_dir):
+    """The interactive fast path (mode='auto' → driver-local pyarrow scan of
+    the pruned buckets when the postings volume is small; SURVEY.md §7.2.6)
+    must be rank-identical to the oracle too."""
+    h = get_index(spark, sf_dir)
+    out = query_topk(
+        spark, h, "big data table", k=10, mode="auto", with_url=True,
+        tiebreak="url",
+    )
+    return out.select("url", F.round("score", 4).alias("score"))
+
+
+@register("bm25_topk_wand_cold", _bm25_sql(["dup"], 10))
+def bm25_topk_wand_cold(spark, sf_dir):
+    """WAND over a cold (unsalted) term whose single block spans every
+    doc-range shard — the shard-clipping regression as a driver row."""
+    h = get_index(spark, sf_dir)
+    out = query_topk(
+        spark, h, "dup", k=10, mode="wand", with_url=True, tiebreak="url"
+    )
+    return out.select("url", F.round("score", 4).alias("score"))
 
 
 @register(
@@ -210,3 +247,83 @@ def latest_crawl_dedup(spark, sf_dir):
 
     wp = with_recrawl(load_webpages(spark, sf_dir))
     return latest_crawl(wp).select("url", F.md5("text").alias("text_fp"))
+
+
+@register(
+    "es_bulk_lines",
+    """SELECT unnest([
+         '{"index":{"_id":"' || CAST(doc_id AS VARCHAR) || '","_type":"doc"}}',
+         '{"doc_id":' || CAST(doc_id AS VARCHAR)
+           || ',"source":"' || source || '","lang":"' || lang || '"}'
+       ]) AS line
+       FROM documents""",
+)
+def es_bulk_lines(spark, sf_dir):
+    """A13 [R]: ES bulk JSONL emission (alternating action/doc lines) over a
+    flat doc projection — byte-compared against the oracle's string build."""
+    from engine.metadata_pipeline import to_es_bulk
+    from engine.relops import t
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return to_es_bulk(d, doc_type="doc", id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# snapshot / time-travel surface (A3 generalized; Iceberg-shaped reads)
+# ---------------------------------------------------------------------------
+
+_SNAP_CACHE: dict[str, str] = {}
+
+
+def get_versioned_index_root(spark: SparkSession, sf_dir: str) -> str:
+    """Two published index versions in one root: v_0 over the base corpus,
+    v_1 after the recrawl batch (urls with doc number ≡0 mod 10 get newer,
+    longer crawls). Readers can pin either snapshot while v_1 is current."""
+    if sf_dir not in _SNAP_CACHE:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        root = tempfile.mkdtemp(prefix="drv_snap_")
+        wp = load_webpages(spark, sf_dir)
+        build_index(spark, wp, root, CFG)                  # v_0
+        build_index(spark, with_recrawl(wp), root, CFG)    # v_1
+        _SNAP_CACHE[sf_dir] = root
+    return _SNAP_CACHE[sf_dir]
+
+
+@register(
+    "index_snapshot_pinned",
+    """SELECT concat('https://', source, '.example.com/doc/',
+                     CAST(doc_id AS VARCHAR)) AS url,
+              len(string_split(text, ' '))::INT AS dl
+       FROM documents""",
+)
+def index_snapshot_pinned(spark, sf_dir):
+    """Time-travel read: docs pinned at v_0 must show pre-recrawl doc
+    lengths even though v_1 (where every ≡0-mod-10 doc grew by one token) is
+    the current published version — proves the manifest pointer and the
+    snapshot log are independent (`VERSION AS OF` semantics)."""
+    from engine.build import open_index
+
+    root = get_versioned_index_root(spark, sf_dir)
+    h0 = open_index(root, version="v_0")
+    return spark.read.parquet(h0.docs_path).select(
+        "url", F.col("dl").cast("int").alias("dl")
+    )
+
+
+@register(
+    "index_snapshot_diff",
+    """SELECT concat('https://', source, '.example.com/doc/',
+                     CAST(doc_id AS VARCHAR)) AS url,
+              (len(string_split(text, ' ')) + 1)::INT AS dl,
+              'changed' AS change
+       FROM documents WHERE doc_id % 10 = 0""",
+)
+def index_snapshot_diff(spark, sf_dir):
+    """Incremental scan between snapshots (A3 [R] generalized): exactly the
+    recrawled urls surface as 'changed', with their new doc length."""
+    from engine.build import docs_changed_between
+
+    root = get_versioned_index_root(spark, sf_dir)
+    return docs_changed_between(spark, root, "v_0", "v_1").select(
+        "url", F.col("dl").cast("int").alias("dl"), "change"
+    )

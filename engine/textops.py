@@ -171,6 +171,11 @@ _MERSENNE = (1 << 61) - 1
 _rng = np.random.RandomState(42)
 _A = _rng.randint(1, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
 _B = _rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
+# token→shingle rolling-hash multipliers and band-fold multipliers (odd ⇒
+# bijective mod 2^64); all hashing is numeric so the whole batch vectorizes
+_SH_MIX = np.uint64(0x9E3779B97F4A7C15)
+_BAND_MIX = _rng.randint(1, 1 << 62, size=N_PERM // LSH_BANDS,
+                         dtype=np.int64).astype(np.uint64) | np.uint64(1)
 
 MINHASH_SCHEMA = T.StructType(
     [
@@ -181,37 +186,90 @@ MINHASH_SCHEMA = T.StructType(
 )
 
 
-def _minhash_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _flat_tokens(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(flat token array, tokens-per-doc) for a batch — one C-level split,
+    no per-token Python."""
+    lists = texts.str.split(" ")
+    lens = lists.str.len().to_numpy(dtype=np.int64)
+    flat = np.concatenate(
+        [np.asarray(x, dtype=object) for x in lists]
+    ) if len(lists) else np.empty(0, dtype=object)
+    return flat, lens
+
+
+def _token_hashes(flat: np.ndarray) -> np.ndarray:
+    """64-bit hash per token: factorize the batch (each distinct string is
+    hashed once — the vocabulary is tiny next to the token stream), crc32 the
+    unique tokens, then gather. uint64, widened for mixing."""
     import zlib
 
+    codes, uniq = pd.factorize(flat, sort=False)
+    uh = np.asarray(
+        [zlib.crc32(u.encode()) for u in uniq], dtype=np.uint64
+    ) if len(uniq) else np.empty(0, dtype=np.uint64)
+    return (uh * _SH_MIX)[codes] if len(flat) else np.empty(0, dtype=np.uint64)
+
+
+def _doc_shingle_hashes(
+    texts: pd.Series, n: int = 3
+) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_index, shingle_hash) pairs — distinct per doc — for a batch,
+    fully vectorized: rolling polynomial combine of per-token hashes, then a
+    lexsort-dedup on (doc, hash)."""
+    flat, lens = _flat_tokens(texts)
+    th = _token_hashes(flat)
+    doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    if len(th) < n:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    sh = th[: len(th) - n + 1].copy()
+    for j in range(1, n):
+        sh = sh * _SH_MIX + th[j : len(th) - n + 1 + j]
+    valid = doc_of[: len(th) - n + 1] == doc_of[n - 1 :]
+    docs = doc_of[: len(th) - n + 1][valid]
+    sh = sh[valid]
+    if len(sh) == 0:
+        return docs, sh
+    # distinct (doc, shingle) — MinHash is over the shingle *set*
+    order = np.lexsort((sh, docs))
+    docs, sh = docs[order], sh[order]
+    keep = np.empty(len(sh), dtype=bool)
+    keep[0] = True
+    keep[1:] = (docs[1:] != docs[:-1]) | (sh[1:] != sh[:-1])
+    return docs[keep], sh[keep]
+
+
+def _minhash_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """MinHash(64) → 16 LSH band keys per doc. No per-doc Python: shingle
+    hashing is a vectorized rolling hash over the batch's flattened token
+    stream, signatures are a segment-min (np.minimum.reduceat over doc
+    boundaries), band keys fold the 4 rows numerically."""
     rows_per_band = N_PERM // LSH_BANDS
     for pdf in batches:
         if len(pdf) == 0:
             continue
-        out_doc, out_band, out_hash = [], [], []
-        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            toks = text.split(" ")
-            sh = {
-                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        docs, sh = _doc_shingle_hashes(pdf["text"])
+        if len(sh) == 0:
+            continue
+        # (shingles × perms) universal hashes, min per doc segment
+        hv = (sh[:, None] * _A[None, :] + _B[None, :]) % _MERSENNE
+        starts = np.flatnonzero(
+            np.concatenate(([True], docs[1:] != docs[:-1]))
+        )
+        sig = np.minimum.reduceat(hv, starts, axis=0)  # (n_docs_with_sh, 64)
+        doc_ids = pdf["doc_id"].to_numpy(np.int64)[docs[starts]]
+        # fold each band's rows into one 64-bit key (odd-multiplier mix)
+        bands = sig.reshape(len(sig), LSH_BANDS, rows_per_band)
+        band_hash = (bands * _BAND_MIX[None, None, :]).sum(
+            axis=2, dtype=np.uint64
+        )
+        n, nb = band_hash.shape
+        yield pd.DataFrame(
+            {
+                "doc_id": np.repeat(doc_ids, nb),
+                "band": np.tile(np.arange(nb, dtype=np.int32), n),
+                "band_hash": band_hash.reshape(-1).view(np.int64),
             }
-            if not sh:
-                continue
-            hv = np.asarray(
-                [zlib.crc32(s.encode()) for s in sh], dtype=np.uint64
-            )
-            # 64 universal-hash permutations, vectorized (docs × perms)
-            sig = ((hv[:, None] * _A[None, :] + _B[None, :]) % _MERSENNE).min(
-                axis=0
-            )
-            for b in range(LSH_BANDS):
-                band = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                out_doc.append(int(doc_id))
-                out_band.append(b)
-                out_hash.append(int(zlib.crc32(band.tobytes())))
-        if out_doc:
-            yield pd.DataFrame(
-                {"doc_id": out_doc, "band": out_band, "band_hash": out_hash}
-            )
+        )
 
 
 @register("dedup_minhash_lsh", _JACCARD_SQL)
@@ -219,8 +277,13 @@ def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(64) + LSH(16×4) candidate generation, exact-Jaccard verified:
     band-bucket self-join yields candidate pairs (recall ≈ 1 − (1−j⁴)¹⁶ —
     >0.9999 at j≥0.8); candidates are re-verified with the exact shingle
-    Jaccard, so the output matches the exact oracle. The sketch bounds the
-    join to colliding buckets — the 100 TB path."""
+    Jaccard, so the output matches the exact oracle.
+
+    The sketch must bound the expensive join for the 100 TB claim to hold:
+    the shingle table is semi-joined down to candidate doc ids (both pair
+    sides) *before* the shingle self-join, so the self-join runs over the
+    candidate subcorpus only — at web scale that is ~duplicate-cluster-sized,
+    not corpus-sized. A final pair-level semi keeps exactly the LSH pairs."""
     docs = docs_with_neardups(spark, sf_dir)
     bands = docs.mapInPandas(_minhash_bands, MINHASH_SCHEMA)
     l = bands.alias("l")
@@ -235,8 +298,14 @@ def dedup_minhash_lsh(spark, sf_dir):
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
         .distinct()
     )
-    # exact verification of candidates only
-    sh = _shingles(docs)
+    cand_ids = (
+        cand.select(F.col("a").alias("doc_id"))
+        .union(cand.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    # exact verification over candidate docs only: the semi-join sits BELOW
+    # the self-join (asserted by tests/test_scale_plans.py)
+    sh = _shingles(docs).join(cand_ids, "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     x = sh.alias("x")
     y = sh.alias("y")
@@ -271,32 +340,47 @@ SIMHASH_SCHEMA = T.StructType(
 
 
 def _simhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """SimHash(64) per doc, vectorized across the batch: unique tokens are
+    hashed once (factorize), the ±1 bit votes are summed per doc segment
+    with np.add.reduceat, and the sign vector packs back into one int64 —
+    no per-doc Python loop."""
     import zlib
 
     for pdf in batches:
         if len(pdf) == 0:
             continue
-        ids, hashes = [], []
-        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            toks = text.split(" ")
-            if not toks:
-                continue
-            hv = np.asarray(
-                [
-                    zlib.crc32(w.encode()) | (zlib.crc32(w[::-1].encode()) << 32)
-                    for w in toks
-                ],
-                dtype=np.uint64,
+        flat, lens = _flat_tokens(pdf["text"])
+        if len(flat) == 0:
+            continue
+        codes, uniq = pd.factorize(flat, sort=False)
+        uh = np.asarray(
+            [
+                zlib.crc32(w.encode()) | (zlib.crc32(w[::-1].encode()) << 32)
+                for w in uniq
+            ],
+            dtype=np.uint64,
+        )
+        hv = uh[codes]
+        nonempty = lens > 0
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1][nonempty]
+        seg_lens = lens[nonempty].astype(np.int64)
+        # one vectorized pass per bit plane (64 × O(n_tokens) — bounded
+        # memory regardless of batch size): votes_k = 2·ones_k − len
+        sh = np.zeros(len(starts), dtype=np.uint64)
+        for kbit in range(64):
+            ones = np.add.reduceat(
+                ((hv >> np.uint64(kbit)) & np.uint64(1)).astype(np.int64),
+                starts,
             )
-            bits = (hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
-            v = np.where(bits == 1, 1, -1).sum(axis=0)
-            sh = np.uint64(0)
-            for k in np.flatnonzero(v > 0):
-                sh |= np.uint64(1) << np.uint64(k)
-            ids.append(int(doc_id))
-            hashes.append(int(sh.astype(np.int64)))
-        if ids:
-            yield pd.DataFrame({"doc_id": ids, "simhash": hashes})
+            sh |= ((2 * ones - seg_lens) > 0).astype(np.uint64) << np.uint64(
+                kbit
+            )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(np.int64)[nonempty],
+                "simhash": sh.view(np.int64),
+            }
+        )
 
 
 @register("dedup_simhash")  # rows-only: hamming-ball search isn't ANSI SQL
@@ -430,23 +514,37 @@ _PROFILES = {
 
 
 def _langid(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Char-trigram profile scores, vectorized: one pandas .str.count pass
+    per profile gram (C-level substring counting across the whole batch) —
+    no per-doc Python loop."""
+    import re
+
+    langs_sorted = sorted(_PROFILES)
     for pdf in batches:
         if len(pdf) == 0:
             continue
-        ids, langs, confs = [], [], []
-        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            low = text.lower()
-            scores = {
-                lang: sum(low.count(g) for g in grams)
-                for lang, grams in _PROFILES.items()
-            }
-            total = sum(scores.values()) or 1
-            best = max(sorted(scores), key=lambda k: scores[k])
-            ids.append(int(doc_id))
-            langs.append(best)
-            confs.append(round(scores[best] / total, 4))
+        low = pdf["text"].str.lower()
+        scores = np.stack(
+            [
+                sum(
+                    low.str.count(re.escape(g)).to_numpy(np.int64)
+                    for g in _PROFILES[lang]
+                )
+                for lang in langs_sorted
+            ],
+            axis=1,
+        )  # (n_docs, n_langs)
+        total = np.maximum(scores.sum(axis=1), 1)
+        # max() over insertion order of the sorted dict == argmax with
+        # first-wins (lowest lang name) tie-break — replicated by argmax
+        best = scores.argmax(axis=1)
+        conf = np.round(scores[np.arange(len(low)), best] / total, 4)
         yield pd.DataFrame(
-            {"doc_id": ids, "lang_pred": langs, "confidence": confs}
+            {
+                "doc_id": pdf["doc_id"].to_numpy(np.int64),
+                "lang_pred": np.asarray(langs_sorted, dtype=object)[best],
+                "confidence": conf,
+            }
         )
 
 

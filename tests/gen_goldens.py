@@ -44,6 +44,11 @@ QUERIES = [
     "query query plan",
     "zzz",
     "spark zzz",
+    # cold-term coverage (df < hot_threshold ⇒ salt 0, one block spanning
+    # every doc-range shard): regression for the WAND shard-clipping bug
+    "dup",
+    "dup the",
+    "dup vector",
 ]
 
 

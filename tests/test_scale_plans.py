@@ -62,6 +62,36 @@ def test_fused_dedup_in_build(spark, index_cfg, built_index):
         assert dl == clean_dl[url] + (1 if doc_no % 10 == 0 else 0), url
 
 
+def test_minhash_verify_bounded_by_candidates(spark):
+    """dedup_minhash_lsh's exact-verify stage must run the shingle self-join
+    over the candidate subcorpus only: both self-join inputs must carry the
+    candidate-doc semi-join BELOW them (the sketch bounds the expensive join
+    — the 100 TB claim)."""
+    import engine.textops  # noqa: F401 — populates the registry
+
+    df = QUERIES["dedup_minhash_lsh"](spark, SF_DIR_01)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    # locate the shingle self-join: the inner join whose condition equates
+    # the two shingle columns
+    self_join_depth = None
+    for i, ln in enumerate(lines):
+        if "Join Inner" in ln and "shingle" in ln:
+            self_join_depth = len(ln) - len(ln.lstrip(":+- "))
+            start = i
+            break
+    assert self_join_depth is not None, plan
+    # every LeftSemi join on doc_id must appear nested UNDER the self-join
+    semis_below = [
+        ln
+        for ln in lines[start + 1 :]
+        if "LeftSemi" in ln and "doc_id" in ln
+    ]
+    assert len(semis_below) >= 2, (
+        "expected candidate semi-joins below the shingle self-join:\n" + plan
+    )
+
+
 def test_query_scan_prunes_term_buckets(spark, built_index):
     """The pruned postings scan must hit only the query terms' bucket
     directories (partition pruning), not the full postings table."""

@@ -94,11 +94,11 @@ def test_wand_rank_identical_to_brute(corpus, qterms, conjunctive, k):
     if not terms:
         return
     sterms = [str(t) for t in terms]
-    pdf = blocks[blocks["term"].isin(sterms)]
+    pdf = blocks[blocks["term"].isin(sterms)].assign(shard=0)
     if len(pdf) == 0:
         return
     scorer = _wand_shard_scorer(
-        stats, K1, B, avgdl, k, conjunctive, len(sterms)
+        stats, K1, B, avgdl, k, conjunctive, len(sterms), range_size=n_docs + 1
     )
     got = scorer(pdf)
     want = _brute(corpus, tf, dls, avgdl, terms, conjunctive)[:k]
@@ -107,4 +107,51 @@ def test_wand_rank_identical_to_brute(corpus, qterms, conjunctive, k):
         list(zip(got["doc_id"], got["score"])), want,
     )
     for gs, (_, ws) in zip(got["score"], want):
+        assert abs(gs - ws) < 1e-9
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    corpus_strategy, query_strategy, st.booleans(), st.integers(2, 6),
+    st.integers(1, 9),
+)
+def test_wand_multishard_rank_identical(corpus, qterms, conjunctive, k,
+                                        range_size):
+    """Multi-shard regression for the shard-clipping bug: blocks spanning
+    several doc-range shards are replicated to each shard (the query-side
+    explode), and the union of shard-local top-k must be duplicate-free and
+    rank-identical to brute — i.e. each doc is scored exactly once, in its
+    home shard, with full score."""
+    blocks, stats, avgdl, n_docs, tf, dls = _build_blocks(corpus)
+    terms = [t for t in qterms if t in tf]
+    if not terms:
+        return
+    sterms = [str(t) for t in terms]
+    pdf = blocks[blocks["term"].isin(sterms)]
+    if len(pdf) == 0:
+        return
+    scorer = _wand_shard_scorer(
+        stats, K1, B, avgdl, k, conjunctive, len(sterms), range_size
+    )
+    # replicate each block to every shard it overlaps, exactly as query_topk
+    parts = []
+    for _, row in pdf.iterrows():
+        for shard in range(
+            int(row.first_doc_id) // range_size,
+            int(row.last_doc_id) // range_size + 1,
+        ):
+            parts.append({**row.to_dict(), "shard": shard})
+    rep = pd.DataFrame(parts)
+    locals_ = [scorer(g) for _, g in rep.groupby("shard")]
+    merged = pd.concat(locals_, ignore_index=True)
+    assert merged["doc_id"].is_unique, "duplicate doc across shards"
+    merged = merged.sort_values(
+        ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    want = _brute(corpus, tf, dls, avgdl, terms, conjunctive)[:k]
+    assert list(merged["doc_id"]) == [d for d, _ in want], (
+        corpus, qterms, conjunctive, k, range_size,
+        list(zip(merged["doc_id"], merged["score"])), want,
+    )
+    for gs, (_, ws) in zip(merged["score"], want):
         assert abs(gs - ws) < 1e-9
