@@ -373,23 +373,53 @@ def query_topk(
             ).orderBy(F.desc("score"), F.asc("url"))
         topk = agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     elif mode == "wand":
+        # Query-time shard width adapts to the query's posting volume: the
+        # scorer is exact for ANY doc-range partitioning (it clips to its
+        # own range), so light queries run as one shard (one Python task, no
+        # per-group scheduling overhead) while stopword-grade queries fan out
+        # to up to n_doc_ranges shards (~TARGET postings each — seconds of
+        # vectorized kernel work per task at 10^12 docs, bounded memory).
         range_size = handle.stats["range_size"]
-        # a block overlapping multiple doc-range shards is replicated to each
-        shard = blocks.withColumn(
-            "shard",
-            F.explode(
-                F.sequence(
-                    (F.col("first_doc_id") / range_size).cast("long"),
-                    (F.col("last_doc_id") / range_size).cast("long"),
-                )
-            ),
-        )
-        local = shard.groupBy("shard").applyInPandas(
-            _wand_shard_scorer(
-                st, k1, b, avgdl, k, conjunctive, len(terms), range_size
-            ),
-            TOPK_SCHEMA,
-        )
+        n_ranges = handle.stats.get("n_doc_ranges", 32)
+        total_df = sum(st[t]["df"] for t in terms)
+        TARGET = 512_000  # postings per shard task (~10 ms kernel time)
+        n_groups = max(1, min(n_ranges, -(-total_df // TARGET)))
+        width = range_size * (-(-n_ranges // n_groups))
+        if n_groups == 1:
+            # single shard ⇒ no co-location needed: fold the pruned scan into
+            # one task and score it there — one stage, no shuffle. The range
+            # is unbounded: doc ids may exceed range_size × n_ranges when the
+            # id buckets are skewed, and nothing may be clipped away here.
+            scorer = _wand_shard_scorer(
+                st, k1, b, avgdl, k, conjunctive, len(terms), 1 << 62
+            )
+
+            def _single(batches):
+                pdfs = [p for p in batches if len(p)]
+                if pdfs:
+                    yield scorer(pd.concat(pdfs, ignore_index=True))
+
+            local = (
+                blocks.withColumn("shard", F.lit(0).cast("long"))
+                .coalesce(1)
+                .mapInPandas(_single, TOPK_SCHEMA)
+            )
+        else:
+            scorer = _wand_shard_scorer(
+                st, k1, b, avgdl, k, conjunctive, len(terms), width
+            )
+            # a block overlapping multiple doc-range shards is replicated to
+            # each; the shuffle payload is ≤ blocks × spanned shards rows
+            shard = blocks.withColumn(
+                "shard",
+                F.explode(
+                    F.sequence(
+                        (F.col("first_doc_id") / width).cast("long"),
+                        (F.col("last_doc_id") / width).cast("long"),
+                    )
+                ),
+            )
+            local = shard.groupBy("shard").applyInPandas(scorer, TOPK_SCHEMA)
         if tiebreak == "url":
             # ≤ shards·k candidate rows: collect, resolve urls driver-side,
             # re-sort by the oracle tie-break. Exact whenever the kth and

@@ -36,5 +36,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # RocksDB state store: the production provider for large streaming
+        # state (spills to disk, incremental checkpoints); also required by
+        # the Spark 4 transformWithStateInPandas surface
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     )
     return builder.getOrCreate()

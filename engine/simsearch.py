@@ -71,41 +71,82 @@ def ann_cosine_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# LSH-bucketed ANN (scale path)
+# LSH-bucketed ANN (scale path): banded multi-table random-hyperplane index.
+#
+# T=4 independent tables × B=16 planes each. A neighbor is a candidate if it
+# matches the query's signature (within ≤2 flipped bits, multi-probe) in ANY
+# table — banding drives recall exponentially with T while per-bucket
+# occupancy stays N/2^B per table. The signature table is built ONCE and
+# persisted (partitioned by table, sig-sorted within files), so a query
+# touches only its ~4×137 probed buckets via partition/row-group pruning —
+# never a full-corpus scan. At 10^9 vectors: E[bucket] ≈ 15k vectors,
+# candidate set ≈ 0.5-1% of the corpus, re-ranked exactly.
 # ---------------------------------------------------------------------------
 
-N_PLANES = 12
+N_TABLES = 4
+N_PLANES = 16
 _rng = np.random.RandomState(7)
-_PLANES = _rng.standard_normal((N_PLANES, 64))
+_PLANES = _rng.standard_normal((N_TABLES, N_PLANES, 64))
 
 SIG_SCHEMA = T.StructType(
     [
         T.StructField("vec_id", T.LongType()),
+        T.StructField("table", T.IntegerType()),
         T.StructField("sig", T.IntegerType()),
     ]
 )
 
 
 def _signatures(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """N_TABLES signature rows per vector, vectorized per Arrow batch."""
+    weights = (1 << np.arange(N_PLANES)).astype(np.int64)
     for pdf in batches:
         if len(pdf) == 0:
             continue
         mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        bits = (mat @ _PLANES.T) > 0  # (n, planes)
-        sigs = (bits.astype(np.int64) << np.arange(N_PLANES)).sum(axis=1)
-        yield pd.DataFrame(
-            {
-                "vec_id": pdf["vec_id"].to_numpy(np.int64),
-                "sig": sigs.astype(np.int32),
-            }
-        )
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        parts = []
+        for tb in range(N_TABLES):
+            bits = (mat @ _PLANES[tb].T) > 0  # (n, planes)
+            sigs = bits.astype(np.int64) @ weights
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": ids,
+                        "table": np.full(len(ids), tb, dtype=np.int32),
+                        "sig": sigs.astype(np.int32),
+                    }
+                )
+            )
+        yield pd.concat(parts, ignore_index=True)
 
 
-def _probe_sigs(qv: np.ndarray, n_probe_bits: int = 2) -> list[int]:
-    """Multi-probe: the query's bucket plus every bucket within hamming
-    distance ≤ n_probe_bits (flipping the planes with smallest |margin|
-    first would be better; exhaustive ≤2-bit flips is fine at 12 planes)."""
-    base = int(((qv @ _PLANES.T) > 0).astype(np.int64) @ (1 << np.arange(N_PLANES)))
+def ann_signatures(e: DataFrame) -> DataFrame:
+    return e.select("vec_id", "embedding").mapInPandas(_signatures, SIG_SCHEMA)
+
+
+def build_ann_index(spark: SparkSession, e: DataFrame, path: str) -> str:
+    """Persist the signature index: partitioned by table (partition pruning),
+    sig-sorted within files (parquet min/max row-group pruning on sig)."""
+    (
+        ann_signatures(e)
+        .repartition("table")
+        .sortWithinPartitions("sig")
+        .write.partitionBy("table")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def _probe_sigs(qv: np.ndarray, table: int, n_probe_bits: int = 2) -> list[int]:
+    """Multi-probe set for one table: the query's bucket plus every bucket
+    within hamming distance ≤ n_probe_bits (exhaustive flips; margin-ordered
+    probing would trim this further at the same recall)."""
+    base = int(
+        ((qv @ _PLANES[table].T) > 0).astype(np.int64)
+        @ (1 << np.arange(N_PLANES))
+    )
     sigs = {base}
     for i in range(N_PLANES):
         sigs.add(base ^ (1 << i))
@@ -115,15 +156,35 @@ def _probe_sigs(qv: np.ndarray, n_probe_bits: int = 2) -> list[int]:
     return sorted(sigs)
 
 
-def lsh_topk_df(e: DataFrame, qv: np.ndarray, k: int = 10,
-                exclude_id: int | None = None) -> DataFrame:
-    """LSH-bucketed ANN: signature buckets + multiprobe candidate set,
-    exact cosine re-rank of candidates only. Approximate by design — recall
-    depends on data having genuine neighborhood structure (tested in pytest
-    on a clustered corpus; the isotropic random fixture is a worst case)."""
-    sigs = e.select("vec_id", "embedding").mapInPandas(_signatures, SIG_SCHEMA)
-    probes = _probe_sigs(qv)
-    cand_ids = sigs.filter(F.col("sig").isin(probes)).select("vec_id")
+def _probe_filter(qv: np.ndarray, n_probe_bits: int = 2):
+    cond = None
+    for tb in range(N_TABLES):
+        c = (F.col("table") == tb) & F.col("sig").isin(
+            _probe_sigs(qv, tb, n_probe_bits)
+        )
+        cond = c if cond is None else (cond | c)
+    return cond
+
+
+def ann_topk(
+    spark: SparkSession,
+    e: DataFrame,
+    sigs: DataFrame | str,
+    qv: np.ndarray,
+    k: int = 10,
+    exclude_id: int | None = None,
+    n_probe_bits: int = 2,
+) -> DataFrame:
+    """ANN top-k: candidates from the probed buckets of the signature index
+    (persisted path or DataFrame), exact cosine re-rank of candidates only."""
+    sig_df = (
+        spark.read.parquet(sigs) if isinstance(sigs, str) else sigs
+    )
+    cand_ids = (
+        sig_df.filter(_probe_filter(qv, n_probe_bits))
+        .select("vec_id")
+        .distinct()
+    )
     cands = e.join(cand_ids, "vec_id", "left_semi")
     if exclude_id is not None:
         cands = cands.filter(F.col("vec_id") != exclude_id)
@@ -134,14 +195,36 @@ def lsh_topk_df(e: DataFrame, qv: np.ndarray, k: int = 10,
     )
 
 
+def lsh_topk_df(e: DataFrame, qv: np.ndarray, k: int = 10,
+                exclude_id: int | None = None) -> DataFrame:
+    """Convenience one-shot path (signatures computed inline — tests and
+    ad-hoc use); production queries go through build_ann_index + ann_topk."""
+    spark = e.sparkSession
+    return ann_topk(spark, e, ann_signatures(e), qv, k, exclude_id)
+
+
+_ANN_INDEX_CACHE: dict[str, str] = {}
+
+
 @register("ann_lsh_topk")  # approximate — rows-only; recall tested in pytest
 def ann_lsh_topk(spark, sf_dir):
+    """Queries the PERSISTED signature index (built once per corpus): the
+    per-query work is a probe-bucket-pruned scan of the signature table plus
+    an exact re-rank of the candidates — no full-corpus pass."""
+    import tempfile
+
     e = t(spark, sf_dir, "embeddings")
+    if sf_dir not in _ANN_INDEX_CACHE:
+        _ANN_INDEX_CACHE[sf_dir] = build_ann_index(
+            spark, e, tempfile.mkdtemp(prefix="drv_ann_")
+        )
     qv = np.asarray(
         e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").collect()[0][0],
         dtype=np.float64,
     )
-    return lsh_topk_df(e, qv, 10, exclude_id=QUERY_VEC_ID)
+    return ann_topk(
+        spark, e, _ANN_INDEX_CACHE[sf_dir], qv, 10, exclude_id=QUERY_VEC_ID
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -180,13 +263,14 @@ def dedup_embedding_cosine(spark, sf_dir):
             "vec_id", F.col("vec_id") + 10000
         )
     )
-    sigs = dup.select("vec_id", "embedding").mapInPandas(_signatures, SIG_SCHEMA)
+    sigs = ann_signatures(dup)
     l = sigs.alias("l")
     r = sigs.alias("r")
     cand = (
         l.join(
             r,
-            (F.col("l.sig") == F.col("r.sig"))
+            (F.col("l.table") == F.col("r.table"))
+            & (F.col("l.sig") == F.col("r.sig"))
             & (F.col("l.vec_id") < F.col("r.vec_id")),
         )
         .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))

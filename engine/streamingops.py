@@ -207,3 +207,58 @@ def stateful_running_count(stream_df: DataFrame) -> DataFrame:
     return stream_df.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stateful_running_count_tws(stream_df: DataFrame) -> DataFrame:
+    """Same running per-user aggregate on the Spark 4.x stateful surface:
+    transformWithStateInPandas with a StatefulProcessor + typed ValueState
+    (the arbitrary-state API that supersedes applyInPandasWithState; needs
+    the RocksDB state store provider, set in engine.session defaults).
+    Runtime dependency: the TWS state-server protocol imports
+    google.protobuf — absent in this sandbox (installs banned), so the
+    pytest is importorskip-gated; applyInPandasWithState above covers the
+    same semantics in-sandbox."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+        ]
+    )
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("acc", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._state.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream_df.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningCount(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -92,6 +92,26 @@ def test_minhash_verify_bounded_by_candidates(spark):
     )
 
 
+def test_ann_index_probe_scan_pruned(spark, tmp_path):
+    """ANN queries must read only the probed buckets of the PERSISTED
+    signature index: partition pruning on table=, sig pushed to row groups —
+    never a full-corpus signature recompute per query."""
+    import numpy as np
+
+    from engine.simsearch import _probe_filter, build_ann_index, t
+
+    e = t(spark, SF_DIR_01, "embeddings")
+    path = build_ann_index(spark, e, str(tmp_path / "ann"))
+    qv = np.asarray(
+        e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0],
+        dtype=np.float64,
+    )
+    scan = spark.read.parquet(path).filter(_probe_filter(qv))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "table" in plan
+    assert "PushedFilters" in plan and "sig" in plan
+
+
 def test_query_scan_prunes_term_buckets(spark, built_index):
     """The pruned postings scan must hit only the query terms' bucket
     directories (partition pruning), not the full postings table."""

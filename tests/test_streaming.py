@@ -9,7 +9,11 @@ import time
 import pyspark.sql.functions as F
 import pytest
 
-from engine.streamingops import stateful_running_count, watermarked_tumbling
+from engine.streamingops import (
+    stateful_running_count,
+    stateful_running_count_tws,
+    watermarked_tumbling,
+)
 
 BASE = "2024-01-01 00:"
 
@@ -82,6 +86,38 @@ def test_stateful_running_count(spark, tmp_path):
         q.processAllAvailable()
         rows = spark.table("state_test").orderBy("n_events").collect()
         # state accumulated across micro-batches: final n=3, sum=10
+        assert (rows[-1]["n_events"], rows[-1]["sum_value"]) == (3, 10.0)
+    finally:
+        q.stop()
+
+
+def test_stateful_running_count_tws(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas (StatefulProcessor + ValueState):
+    same cross-batch accumulation contract as applyInPandasWithState.
+    The TWS runtime needs google.protobuf (its state-server protocol), which
+    this container lacks and installs are banned — skip there; the operator
+    itself is environment-independent."""
+    pytest.importorskip("google.protobuf")
+    src = str(tmp_path / "src")
+    _write(spark, src, [(9, f"{BASE}01:00", 2.0), (9, f"{BASE}02:00", 3.0)])
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = stateful_running_count_tws(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_tws"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(spark, src, [(9, f"{BASE}03:00", 5.0)])
+        q.processAllAvailable()
+        rows = spark.table("tws_test").orderBy("n_events").collect()
         assert (rows[-1]["n_events"], rows[-1]["sum_value"]) == (3, 10.0)
     finally:
         q.stop()
