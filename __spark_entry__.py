@@ -31,12 +31,13 @@ _PRIORITY = [
     "bm25_topk_disjunctive", "bm25_topk_stopword", "bm25_topk_single",
     "bm25_conjunctive",
     "index_term_stats", "index_doc_lengths", "index_postings_blocks",
-    "facets_lang", "latest_crawl_dedup",
+    "facets_lang", "facets_top_terms", "latest_crawl_dedup",
     "index_snapshot_pinned", "index_snapshot_diff", "es_bulk_lines",
     # LLM-training-data pipeline operators
     "dedup_exact", "dedup_jaccard_exact", "dedup_minhash_lsh", "dedup_simhash",
     "ann_cosine_topk", "ann_lsh_topk", "dedup_embedding_cosine",
-    "text_token_count", "text_quality", "doc_fingerprint", "text_langid",
+    "text_token_count", "text_token_count_bpe", "text_quality",
+    "text_quality_filter", "doc_fingerprint", "text_langid",
     "multimodal_meta",
     # streaming surface
     "stream_tumbling_window", "stream_sliding_window", "stream_session_window",
@@ -46,8 +47,7 @@ _PRIORITY = [
     "join_broadcast_dims", "join_smj_fact", "join_left_outer", "join_anti",
     "join_range_events", "join_asof_events", "join_skew_salted",
     "agg_tpch_q1", "agg_rollup", "agg_cube", "agg_nested_collect",
-    "win_topk_per_group", "win_lag_sessions", "sort_topk_global",
-    "set_except_all", "udf_pandas_scalar", "udtf_token_expand",
+    "win_topk_per_group", "sort_topk_global", "udf_pandas_scalar",
 ]
 
 

@@ -41,10 +41,53 @@ def decode_image(payload: bytes) -> tuple[int, int]:
     return 64 + crc % 1024, 64 + (crc >> 10) % 1024
 
 
-def extract_audio_features(payload: bytes):  # pragma: no cover - stub
-    raise NotImplementedError(
-        "audio feature extraction requires libs not present in this container"
-    )
+def extract_audio_features(payload: bytes, n_mel: int = 8) -> list[float]:
+    """Audio feature extraction with the codec decode STUBBED: production
+    replaces the first line with a real decoder (soundfile/librosa — absent
+    in this container); everything after — framing, per-frame energy, a
+    coarse log-spectral summary — is real vectorized numpy over the sample
+    array, so the feature pipeline shape (bytes → fixed-length float vector)
+    is exercised end to end."""
+    import numpy as np
+
+    # STUB decode: interpret the payload bytes as 8-bit PCM samples
+    samples = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    samples = (samples - 128.0) / 128.0
+    if len(samples) == 0:
+        return [0.0] * (n_mel + 2)
+    frame = max(1, len(samples) // n_mel)
+    usable = samples[: frame * n_mel].reshape(n_mel, frame)
+    energy = np.sqrt((usable**2).mean(axis=1))  # per-band RMS
+    zc = float(np.mean(np.abs(np.diff(np.signbit(samples).astype(np.int8)))))
+    rms = float(np.sqrt((samples**2).mean()))
+    return [rms, zc] + [float(x) for x in energy]
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Binary audio column → fixed-length feature vectors, Arrow-batched."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "n_samples": [len(p) for p in pdf["html"]],
+                    "features": [extract_audio_features(p) for p in pdf["html"]],
+                }
+            )
+
+    return media.select("url", "html").mapInPandas(fn, AUDIO_SCHEMA)
 
 
 def _media_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -147,19 +190,26 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, n_frames: int = 3) -> 
     (expansion inside the Arrow batch, no explode shuffle needed)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        idx = np.arange(n_frames, dtype=np.int64)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            urls, idxs, tss, frames = [], [], [], []
-            for url, payload in zip(pdf["url"], pdf["html"]):
-                for i in range(n_frames):
-                    urls.append(url)
-                    idxs.append(i)
-                    tss.append(i * every_ms)
-                    # deterministic fake frame: slice of the payload
-                    frames.append(payload[i::n_frames][:64])
+            n = len(pdf)
+            # row-expansion via repeat/tile; only the per-payload byte slice
+            # (the stubbed decode itself) touches each row individually
             yield pd.DataFrame(
-                {"url": urls, "frame_idx": idxs, "frame_ts_ms": tss, "frame": frames}
+                {
+                    "url": np.repeat(pdf["url"].to_numpy(object), n_frames),
+                    "frame_idx": np.tile(idx, n).astype(np.int32),
+                    "frame_ts_ms": np.tile(idx * every_ms, n),
+                    "frame": [
+                        p[i::n_frames][:64]
+                        for p in pdf["html"]
+                        for i in range(n_frames)
+                    ],
+                }
             )
 
     return media.select("url", "html").mapInPandas(fn, FRAME_SCHEMA)

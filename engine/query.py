@@ -493,7 +493,10 @@ def query_topk(
 # the hot path, same scoring code, rank-identical by construction.
 # ---------------------------------------------------------------------------
 
-LOCAL_MAX_POSTINGS = 2_000_000
+# auto-mode crossover: the driver-local path decodes ~1M postings/s
+# single-threaded (incl. the pyarrow read), while the distributed WAND floor
+# is ~0.6 s — measured crossover sits near 500k postings
+LOCAL_MAX_POSTINGS = 500_000
 
 
 def _local_term_stats(handle: IndexHandle, terms: list[str]) -> dict:

@@ -217,6 +217,28 @@ def facets_lang(spark, sf_dir):
 
 
 @register(
+    "facets_top_terms",
+    """SELECT term, df FROM (
+         SELECT term, count(*)::BIGINT AS df
+         FROM (SELECT DISTINCT doc_id,
+                      unnest(string_split(lower(text), ' ')) AS term
+               FROM documents)
+         GROUP BY term)
+       ORDER BY df DESC, term LIMIT 20""",
+)
+def facets_top_terms(spark, sf_dir):
+    """B16: the dashboard's significant-terms facet — top-20 dictionary
+    entries by document frequency, straight from the index terms table."""
+    h = get_index(spark, sf_dir)
+    return (
+        spark.read.parquet(h.terms_path)
+        .select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+    )
+
+
+@register(
     "latest_crawl_dedup",
     """WITH recrawl AS (
          SELECT concat('https://', source, '.example.com/doc/',

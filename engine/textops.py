@@ -476,6 +476,53 @@ def text_quality(spark, sf_dir):
 
 
 @register(
+    "text_token_count_bpe",
+    r"""SELECT doc_id,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]'))::INT
+                   AS n_bpe_tokens,
+               len(string_split(text, ' '))::INT AS n_ws_tokens
+        FROM documents""",
+)
+def text_token_count_bpe(spark, sf_dir):
+    """BPE-ish regex tokenizer count (letter runs | single digits | other
+    non-space) next to the whitespace count — the pre-tokenization a
+    training-data pipeline budgets with. Pattern kept to a dialect-neutral
+    subset so Spark (Java regex) and the DuckDB oracle (RE2) agree."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]|[^a-z0-9 ]"), 0))
+        .alias("n_bpe_tokens"),
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "text_quality_filter",
+    """SELECT doc_id FROM (
+         SELECT doc_id, length(text) AS n_chr,
+                len(string_split(text, ' ')) AS n_tok,
+                (length(text) - length(replace(text, 'the', ''))) / 3.0 AS n_the
+         FROM documents)
+       WHERE n_tok BETWEEN 20 AND 80
+         AND n_the / n_tok BETWEEN 0.001 AND 0.2
+         AND (n_chr * 1.0 / n_tok) BETWEEN 3 AND 12""",
+)
+def text_quality_filter(spark, sf_dir):
+    """The C4/Gopher-style gate itself: keep docs passing the length window,
+    stopword-ratio band, and mean-token-length band — the row-level filter a
+    100 TB cleaning pass applies before training. Pure JVM column ops."""
+    d = t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    n_the = (F.length("text") - F.length(F.regexp_replace("text", "the", ""))) / 3.0
+    return d.filter(
+        n_tok.between(20, 80)
+        & (n_the / n_tok).between(0.001, 0.2)
+        & (F.length("text") / n_tok).between(3, 12)
+    ).select("doc_id")
+
+
+@register(
     "doc_fingerprint",
     """SELECT doc_id, md5(text) AS fp,
               substring(md5(text), 1, 8) AS fp_prefix
