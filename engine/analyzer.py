@@ -91,6 +91,62 @@ def doc_lengths(tokens: pd.Series) -> np.ndarray:
 _DOC_SENTINEL = "zzqxjdocsepvqkzz"
 
 
+def factorized_tokens(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch tokenizer + factorizer that keeps the token stream OFF the
+    Python heap: Arrow kernels (C++, contiguous buffers) lower, split and
+    dictionary-encode the whole batch, so per-token cost is ~20 bytes of
+    buffer traffic instead of a ~100-byte Python str object — the build's
+    dominant memory-bandwidth term at web scale.
+
+    Returns (codes int64 per token, unique token strings (small vocab),
+    per-doc token counts). Token stream is exactly `tokenize()` per doc —
+    three tiers, each verified equivalent (tests/test_analyzer.py):
+
+    1. plain ascii [a-z0-9 ] after lowering → non-regex split on ' '
+    2. other ascii → RE2 split on the separator class [^a-z0-9]+
+    3. non-ascii anywhere → the sentinel-scan Python fallback
+       (tokenize_flat), which implements full Unicode word segmentation
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    tl = [t if isinstance(t, str) else "" for t in texts]
+    n = len(tl)
+    if n == 0:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=object),
+            np.empty(0, dtype=np.int64),
+        )
+    arr = pa.array(tl, type=pa.string())
+    if not pc.all(
+        pc.string_is_ascii(arr), min_count=0
+    ).as_py():  # tier 3: full Unicode semantics
+        flat, dls = tokenize_flat(tl)
+        codes, uniq = pd.factorize(flat, sort=False)
+        return codes.astype(np.int64), np.asarray(uniq, dtype=object), dls
+    low = pc.ascii_lower(arr)
+    if pc.all(
+        pc.match_substring_regex(low, "^[a-z0-9 ]*$"), min_count=0
+    ).as_py():
+        toks = pc.split_pattern(low, " ")  # tier 1 (no regex machinery)
+    else:
+        toks = pc.split_pattern_regex(low, "[^a-z0-9]+")  # tier 2
+    flat = pc.list_flatten(toks)
+    empty = pc.equal(flat, "")
+    offs = toks.offsets.to_numpy()
+    raw_lens = np.diff(offs)
+    # split always yields ≥1 element per doc (even for "") ⇒ offsets are
+    # strictly increasing and reduceat segments line up with docs exactly
+    em = empty.to_numpy(zero_copy_only=False).astype(np.int64)
+    dls = raw_lens - np.add.reduceat(em, offs[:-1])
+    flat_ne = pc.filter(flat, pc.invert(empty))
+    enc = pc.dictionary_encode(flat_ne)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+    return codes, uniq, dls.astype(np.int64)
+
+
 def tokenize_flat(texts) -> tuple[np.ndarray, np.ndarray]:
     """Single-pass batch tokenizer: lowercase + findall over ONE joined
     string (C-level, no per-row regex calls or intermediate Series), then

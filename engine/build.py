@@ -45,7 +45,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import types as T
 
-from engine.analyzer import extract_series, tokenize_flat
+from engine.analyzer import extract_series, factorized_tokens
 from engine.codec import bm25_tf_norm, encode_blocks, idf
 from engine.config import IndexConfig
 from engine.publish import atomic_publish, read_manifest
@@ -180,9 +180,11 @@ def _fused_spimi(cfg: IndexConfig, dedup: bool):
                 rank_ctr[pid] = int(ranks[sel][-1]) + 1
             doc_ids = ranks * P + pids
             text = extract_series(pdf["url"], pdf.get("html"), pdf["text"])
-            flat_terms, dls = tokenize_flat(text.to_numpy(dtype=object))
+            # Arrow-kernel tokenize + dictionary-encode: the token stream
+            # never materializes as Python objects (bandwidth, not CPU, is
+            # the binding constraint at high core counts)
+            bcodes, buniq, dls = factorized_tokens(text.to_numpy(dtype=object))
             if dls.sum():
-                bcodes, buniq = pd.factorize(flat_terms, sort=False)
                 remap = np.empty(len(buniq), dtype=np.int64)
                 for j, tm in enumerate(buniq):
                     code = vocab.get(tm)
@@ -463,6 +465,12 @@ def build_index(
 ) -> IndexHandle:
     """Full index build. See module docstring for the plan.
 
+    checkpoint_dir enables both crash resume AND incremental reindex: the
+    SPIMI stage keeps per-pid partials with input fingerprints, so
+    rebuilding after the corpus changed re-tokenizes only the changed pids
+    (the dominant stage at webtext scale) while stats/merge/publish run
+    fresh — each build still publishes a complete new snapshot version.
+
     use_html_fallback=False drops the `html` binary column from the scan
     entirely (column pruning reaches the parquet reader) — the right setting
     when `text` is authoritative for every row; at Common-Crawl scale the
@@ -641,6 +649,25 @@ def build_index(
     return IndexHandle(path=index_dir, version_dir=version_dir, stats=stats)
 
 
+def _pid_fingerprints(spimi_input: DataFrame) -> dict[int, int]:
+    """Per-pid input fingerprint (xxhash64-xor over url / warc_ts / text
+    length): a pure function of the pid's raw input rows, independent of
+    partitioning and row order. One column-pruned agg job — at 100 TB this
+    reads three narrow columns, a small fraction of the tokenize scan it
+    lets an incremental rebuild skip."""
+    cols = [F.col("url")]
+    if "warc_ts" in spimi_input.columns:
+        cols.append(F.col("warc_ts").cast("long"))
+    cols.append(F.coalesce(F.octet_length("text"), F.lit(-1)))
+    rows = (
+        spimi_input.withColumn("_fp", F.xxhash64(*cols))
+        .groupBy("pid")
+        .agg(F.expr("bit_xor(_fp)").alias("fp"))
+        .collect()
+    )
+    return {int(r["pid"]): int(r["fp"]) for r in rows}
+
+
 def _checkpointed_partials(
     spark: SparkSession,
     partials_raw: DataFrame,
@@ -649,36 +676,69 @@ def _checkpointed_partials(
     cfg: IndexConfig,
     dedup_latest: bool = True,
 ) -> DataFrame:
-    """Per-partition checkpointing of the SPIMI stage (B15): partials are
-    persisted partitioned by pid; a resumed build recomputes only the pids
-    missing from the checkpoint manifest and unions them with the completed
-    ones. Task retries are safe: the manifest is committed only after the
-    whole stage's write succeeds, and per-pid directories are overwritten
-    idempotently."""
+    """Per-partition checkpointing + incremental reindex of the SPIMI stage
+    (B15 / A3 [R] "incremental skip" generalized): partials are persisted
+    partitioned by pid with a per-pid INPUT FINGERPRINT in the manifest. A
+    re-run — whether resuming a killed build or rebuilding after the corpus
+    changed — recomputes only pids whose fingerprint is absent or stale and
+    reuses the checkpointed partials for the rest. Sound because a pid's
+    partials (incl. its doc ids: rank within the pid's url set × P + pid)
+    depend only on that pid's own input rows; global stats and the term
+    merge run downstream over the full partials either way.
+
+    Task retries are safe: changed pid directories are removed before the
+    stage writes, and the manifest is committed only after the whole write
+    succeeds."""
+    import shutil
+
     os.makedirs(checkpoint_dir, exist_ok=True)
     ckpt_path = os.path.join(checkpoint_dir, "partials")
     manifest_path = os.path.join(checkpoint_dir, "_partials_manifest.json")
-    done: list[int] = []
+    manifest: dict = {}
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
-            done = json.load(f)["completed_pids"]
+            manifest = json.load(f)
+    if manifest.get("n_build_partitions", cfg.n_build_partitions) != (
+        cfg.n_build_partitions
+    ):
+        # P changed ⇒ every pid's content is redefined; start clean
+        shutil.rmtree(ckpt_path, ignore_errors=True)
+        manifest = {}
+    cur_fps = _pid_fingerprints(spimi_input)
+    prev_done = set(manifest.get("completed_pids", []))
+    prev_fps = manifest.get("pid_fingerprints")
     all_pids = list(range(cfg.n_build_partitions))
+    if prev_fps is None:  # pre-fingerprint manifest: trust completed set
+        done = sorted(prev_done)
+    else:
+        done = sorted(
+            p
+            for p in prev_done
+            if prev_fps.get(str(p)) == cur_fps.get(p)
+        )
     missing = sorted(set(all_pids) - set(done))
     if missing:
+        for p in missing:  # idempotent re-run of changed/stale pids
+            shutil.rmtree(os.path.join(ckpt_path, f"pid={p}"), ignore_errors=True)
         todo = partials_raw
         if done:
             todo = (
                 spimi_input.filter(~F.col("pid").isin(done))
                 .mapInPandas(_fused_spimi(cfg, dedup_latest), schema=PARTIALS_SCHEMA)
             )
-        (
-            todo.write.partitionBy("pid")
-            .mode("append" if done else "overwrite")
-            .parquet(ckpt_path)
-        )
+        todo.write.partitionBy("pid").mode("append").parquet(ckpt_path)
         tmp = manifest_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"completed_pids": all_pids}, f)
+            json.dump(
+                {
+                    "completed_pids": all_pids,
+                    "pid_fingerprints": {
+                        str(p): cur_fps[p] for p in cur_fps
+                    },
+                    "n_build_partitions": cfg.n_build_partitions,
+                },
+                f,
+            )
         os.replace(tmp, manifest_path)
     out = spark.read.parquet(ckpt_path)
     # partitionBy moved pid to a partition column; restore column order/types

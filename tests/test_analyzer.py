@@ -76,6 +76,50 @@ def test_no_per_row_python_udf_in_engine():
             assert not bad.search(src), f"per-row udf( found in {fn}"
 
 
+def test_factorized_tokens_matches_per_doc():
+    """All three tiers of the Arrow tokenizer (plain-ascii split, ascii RE2
+    split, unicode Python fallback) must reproduce tokenize() exactly."""
+    from engine.analyzer import factorized_tokens, tokenize
+
+    cases = [
+        # tier 1: plain [a-z0-9 ] after lowering
+        ["spark join the", "", "a b  c", "x1 2y", "   "],
+        # tier 2: ascii with punctuation/underscores
+        ["Spark, JOIN; the!", "foo_bar x1-2y", "...", "a.b,c"],
+        # tier 3: unicode anywhere in the batch → full Unicode semantics
+        ["über Café déjà-vu", "plain ascii too", "中文 分词 test"],
+        # mixed nulls
+        ["keep", None, ""],
+    ]
+    for texts in cases:
+        codes, uniq, dls = factorized_tokens(texts)
+        want = [tokenize(t or "") for t in texts]
+        assert dls.tolist() == [len(w) for w in want], texts
+        got_stream = [uniq[c] for c in codes]
+        assert got_stream == [tok for w in want for tok in w], texts
+
+
+def test_factorized_tokens_property():
+    """Randomized cross-check of the tiered tokenizer against tokenize()."""
+    import random
+
+    from engine.analyzer import factorized_tokens, tokenize
+
+    rng = random.Random(11)
+    alphabet = "ab1 _.,-!Zq\t\n"
+    uni = "abé 中_9"
+    for trial in range(60):
+        pool = alphabet if trial % 2 else uni
+        texts = [
+            "".join(rng.choice(pool) for _ in range(rng.randrange(0, 30)))
+            for _ in range(rng.randrange(1, 12))
+        ]
+        codes, uniq, dls = factorized_tokens(texts)
+        want = [tokenize(t) for t in texts]
+        assert dls.tolist() == [len(w) for w in want], texts
+        assert [uniq[c] for c in codes] == [tok for w in want for tok in w], texts
+
+
 def test_tokenize_flat_matches_per_doc():
     import numpy as np
 

@@ -52,6 +52,66 @@ def test_extraction_invariant_on_fixture(spark):
     assert (via_html == pdf["text"]).all()
 
 
+def test_incremental_reindex_recomputes_only_changed_pids(spark, index_cfg):
+    """A3 [R] generalized to the build: reusing a checkpoint dir after the
+    corpus changed must re-run SPIMI only for pids whose input fingerprint
+    moved, and the result must equal a clean build of the new corpus."""
+    import pyspark.sql.functions as F
+
+    wp_v1 = load_webpages(spark, SF_DIR_001)
+    # v2 = v1 plus ONE newer crawl of a single url → exactly one pid changes
+    one = (
+        wp_v1.orderBy("url").limit(1)
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("interval 1 day"))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" freshdup")))
+    )
+    wp_v2 = wp_v1.unionByName(one)
+
+    ck = tempfile.mkdtemp(prefix="ckpt_inc_")
+    build_index(spark, wp_v1, tempfile.mkdtemp(prefix="idx_v1_"),
+                index_cfg, checkpoint_dir=ck)
+    mpath = os.path.join(ck, "_partials_manifest.json")
+    with open(mpath) as f:
+        fps_v1 = json.load(f)["pid_fingerprints"]
+
+    # mtimes of the per-pid partials before the incremental rebuild
+    pdir = os.path.join(ck, "partials")
+    mtime_v1 = {
+        d: os.path.getmtime(os.path.join(pdir, d))
+        for d in os.listdir(pdir) if d.startswith("pid=")
+    }
+
+    h2 = build_index(spark, wp_v2, tempfile.mkdtemp(prefix="idx_v2_"),
+                     index_cfg, checkpoint_dir=ck)
+    with open(mpath) as f:
+        fps_v2 = json.load(f)["pid_fingerprints"]
+    changed = {p for p in fps_v2 if fps_v1.get(p) != fps_v2[p]}
+    assert len(changed) == 1, f"exactly one pid must change, got {changed}"
+    unchanged = set(fps_v1) - changed
+    assert unchanged, "the single-url change must leave other pids untouched"
+    for d, m in mtime_v1.items():
+        pid = d.split("=")[1]
+        if pid in unchanged:
+            assert os.path.getmtime(os.path.join(pdir, d)) == m, (
+                f"unchanged {d} was recomputed"
+            )
+        if pid in changed:
+            assert os.path.getmtime(os.path.join(pdir, d)) > m, (
+                f"changed {d} was not recomputed"
+            )
+
+    clean = build_index(spark, wp_v2, tempfile.mkdtemp(prefix="idx_v2c_"),
+                        index_cfg)
+    assert h2.stats["n_docs"] == clean.stats["n_docs"]
+    assert abs(h2.stats["avgdl"] - clean.stats["avgdl"]) < 1e-12
+    for q in ("freshdup", "spark join"):
+        a = query_topk(spark, clean, q, mode="brute", with_url=False).collect()
+        b_ = query_topk(spark, h2, q, mode="brute", with_url=False).collect()
+        assert [(r["doc_id"], round(r["score"], 9)) for r in a] == [
+            (r["doc_id"], round(r["score"], 9)) for r in b_
+        ]
+
+
 def test_resume_from_partial_checkpoint(spark, index_cfg):
     """Simulate a killed build: checkpoint manifest says only some pids
     completed; the resumed build recomputes the rest and the final index
