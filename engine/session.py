@@ -36,6 +36,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # zstd shuffle/spill compression: the salted-merge shuffle moves
+        # ~16 B/posting of monotone int arrays — zstd roughly halves the
+        # bytes hitting disk vs lz4, which is the binding constraint for
+        # multi-GB shuffles on shared/virtualized disks
+        .config("spark.io.compression.codec", "zstd")
         # RocksDB state store: the production provider for large streaming
         # state (spills to disk, incremental checkpoints); also required by
         # the Spark 4 transformWithStateInPandas surface

@@ -59,7 +59,13 @@ def main() -> None:
     ref_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_REF", "32"))
 
     runs: list[dict] = []
-    for i in range(reps):  # interleaved A/B pairs
+    prior = os.environ.get("BENCH_SCALING_RESUME")
+    rep0 = 0
+    if prior:  # merge reps from an earlier protocol invocation (same config)
+        with open(prior) as f:
+            runs = [r for r in json.load(f) if r.get("_rep", -1) >= 0]
+        rep0 = 1 + max(r["_rep"] for r in runs)
+    for i in range(rep0, rep0 + reps):  # interleaved A/B pairs
         for c in (n, n4):
             r = run(c)
             r["_cpus"] = c
