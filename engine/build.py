@@ -10,9 +10,10 @@ Pipeline (all DataFrame-declared; Python boundaries are Arrow-batched):
     local[32] (scaling-bench precondition, SURVEY.md §5.2) and the scheme
     needs no global sort at 10^12 docs (per-bucket window only).
 3.  SPIMI per-partition posting construction via mapInPandas (BASELINE.json:6):
-    tokenize+extract vectorized, per-partition in-memory term→postings
-    grouping, emits array-valued partials (one row per term per partition —
-    shuffle row count is O(distinct terms × partitions), not O(postings)).
+    tokenize+extract via Arrow kernels, per-partition term→postings grouping,
+    emits TRANSIT-ENCODED partials (one row per term per partition, postings
+    as varint-delta binary — shuffle row count is O(distinct terms ×
+    partitions) and shuffle bytes ~2-4 B/posting instead of 16).
 4.  stats: docs (doc_id,url,dl), N, avgdl, terms (df, cf) — partial+final agg.
 5.  salted repartition-by-term merge (BASELINE.json:6): hot terms
     (df ≥ threshold) are split by doc-range salt = doc_id // range_size
@@ -46,7 +47,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import types as T
 
 from engine.analyzer import extract_series, factorized_tokens
-from engine.codec import bm25_tf_norm, encode_blocks, idf
+from engine.codec import (
+    bm25_tf_norm,
+    delta_decode_blocks,
+    encode_blocks,
+    idf,
+    varint_decode_concat,
+    varint_encode_rows,
+)
 from engine.config import IndexConfig
 from engine.publish import atomic_publish, read_manifest
 
@@ -54,14 +62,25 @@ from engine.publish import atomic_publish, read_manifest
 # lengths ride the same SPIMI pass (empty string is never a tokenizer output).
 DOC_PSEUDO_TERM = ""
 
+# Term partials travel TRANSIT-ENCODED (varint bytes, ~4-6x smaller than
+# int64 arrays): the term shuffle is the build's largest data movement, so
+# postings cross it as (n, tf_sum, ids_enc=varint gaps w/ absolute first,
+# tfs_enc, dls_enc). The at-rest block codec in the merge stage is
+# unchanged — index bytes stay identical. Pseudo rows (term="") carry the
+# per-pid docmap as plain arrays (they are exploded JVM-side for the docs
+# table and are a tiny fraction of the volume).
 PARTIALS_SCHEMA = T.StructType(
     [
         T.StructField("pid", T.IntegerType()),
         T.StructField("term", T.StringType()),
-        T.StructField("doc_ids", T.ArrayType(T.LongType())),
-        T.StructField("tfs", T.ArrayType(T.IntegerType())),
-        T.StructField("dls", T.ArrayType(T.IntegerType())),
+        T.StructField("n", T.IntegerType()),
+        T.StructField("tf_sum", T.LongType()),
+        T.StructField("ids_enc", T.BinaryType()),
+        T.StructField("tfs_enc", T.BinaryType()),
+        T.StructField("dls_enc", T.BinaryType()),
         # docmap payload, set only on the pseudo row (term = "")
+        T.StructField("doc_ids", T.ArrayType(T.LongType())),
+        T.StructField("dls", T.ArrayType(T.IntegerType())),
         T.StructField("urls", T.ArrayType(T.StringType())),
         T.StructField("langs", T.ArrayType(T.StringType())),
         # per-doc extracted-text fingerprint (vectorized 64-bit hash) —
@@ -219,8 +238,9 @@ def _fused_spimi(cfg: IndexConfig, dedup: bool):
                 langs_all.setdefault(pid, []).append(lang_arr[sel_doc])
                 fps_all.setdefault(pid, []).append(fp_arr[sel_doc])
         out_rows: dict[str, list] = {
-            "pid": [], "term": [], "doc_ids": [], "tfs": [], "dls": [],
-            "urls": [], "langs": [], "fps": [],
+            "pid": [], "term": [], "n": [], "tf_sum": [],
+            "ids_enc": [], "tfs_enc": [], "dls_enc": [],
+            "doc_ids": [], "dls": [], "urls": [], "langs": [], "fps": [],
         }
         if acc_codes:
             codes = np.concatenate(acc_codes)
@@ -252,23 +272,39 @@ def _fused_spimi(cfg: IndexConfig, dedup: bool):
             rchange = np.empty(len(starts), dtype=bool)
             rchange[0] = True
             rchange[1:] = p_key[1:] != p_key[:-1]
-            rstarts = np.flatnonzero(rchange).tolist() + [len(starts)]
-            for a, bnd in zip(rstarts[:-1], rstarts[1:]):
-                out_rows["pid"].append(int(p_pid[a]))
-                out_rows["term"].append(vocab_list[int(p_code[a])])
-                out_rows["doc_ids"].append(p_doc[a:bnd])
-                out_rows["tfs"].append(tf[a:bnd])
-                out_rows["dls"].append(p_dl[a:bnd])
-                out_rows["urls"].append(None)
-                out_rows["langs"].append(None)
-                out_rows["fps"].append(None)
+            rstarts = np.flatnonzero(rchange)
+            # transit encode (one vectorized pass per stream): doc ids as
+            # within-row deltas with an absolute first value
+            gaps = p_doc.astype(np.uint64).copy()
+            gaps[1:] = p_doc[1:].astype(np.uint64) - p_doc[:-1].astype(np.uint64)
+            gaps[rstarts] = p_doc[rstarts].astype(np.uint64)
+            ids_bufs = varint_encode_rows(gaps, rstarts)
+            tfs_bufs = varint_encode_rows(tf.astype(np.uint64), rstarts)
+            dls_bufs = varint_encode_rows(p_dl.astype(np.uint64), rstarts)
+            row_n = np.diff(np.append(rstarts, len(starts)))
+            row_tf_sum = np.add.reduceat(tf.astype(np.int64), rstarts)
+            out_rows["pid"].extend(p_pid[rstarts].tolist())
+            out_rows["term"].extend(
+                vocab_list[int(c)] for c in p_code[rstarts]
+            )
+            out_rows["n"].extend(row_n.tolist())
+            out_rows["tf_sum"].extend(row_tf_sum.tolist())
+            out_rows["ids_enc"].extend(ids_bufs)
+            out_rows["tfs_enc"].extend(tfs_bufs)
+            out_rows["dls_enc"].extend(dls_bufs)
+            nrows_t = len(rstarts)
+            for col in ("doc_ids", "dls", "urls", "langs", "fps"):
+                out_rows[col].extend([None] * nrows_t)
         for pid, ids in doc_ids_all.items():
             out_rows["pid"].append(pid)
             out_rows["term"].append(DOC_PSEUDO_TERM)
+            out_rows["n"].append(0)
+            out_rows["tf_sum"].append(0)
+            out_rows["ids_enc"].append(None)
+            out_rows["tfs_enc"].append(None)
+            out_rows["dls_enc"].append(None)
             out_rows["doc_ids"].append(np.concatenate(ids))
-            dl_cat = np.concatenate(dls_all[pid]).astype(np.int32)
-            out_rows["tfs"].append(dl_cat)
-            out_rows["dls"].append(dl_cat)
+            out_rows["dls"].append(np.concatenate(dls_all[pid]).astype(np.int32))
             out_rows["urls"].append(np.concatenate(urls_all[pid]))
             out_rows["langs"].append(np.concatenate(langs_all[pid]))
             out_rows["fps"].append(np.concatenate(fps_all[pid]))
@@ -287,22 +323,18 @@ def _salt_split(cfg: IndexConfig, range_size: int, hot_terms: set[str] | None):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            # vectorized over the whole batch: flatten every partial's
-            # posting arrays once, compute per-posting salt keys, and cut at
-            # (row, salt) boundaries. Postings inside a partial are already
-            # doc-sorted (SPIMI emits sorted runs), so salts are monotonic
-            # within a row — boundary detection needs no sort.
+            # vectorized over the whole batch: bulk-decode every partial's
+            # transit buffers once, compute per-posting salt keys, cut at
+            # (row, salt) boundaries, and re-encode the segments with one
+            # pass per stream. Postings inside a partial are doc-sorted
+            # (SPIMI emits sorted runs), so salts are monotonic within a
+            # row — boundary detection needs no sort.
             nrows = len(pdf)
-            lens = pdf["doc_ids"].map(len).to_numpy(np.int64)
-            ids_f = np.concatenate(
-                [np.asarray(a, np.int64) for a in pdf["doc_ids"]]
-            )
-            tfs_f = np.concatenate(
-                [np.asarray(a, np.int32) for a in pdf["tfs"]]
-            )
-            dls_f = np.concatenate(
-                [np.asarray(a, np.int32) for a in pdf["dls"]]
-            )
+            lens = pdf["n"].to_numpy(np.int64)
+            gaps_f = varint_decode_concat(pdf["ids_enc"])
+            ids_f = delta_decode_blocks(gaps_f, lens).astype(np.int64)
+            tfs_f = varint_decode_concat(pdf["tfs_enc"])
+            dls_f = varint_decode_concat(pdf["dls_enc"])
             row_of = np.repeat(np.arange(nrows, dtype=np.int64), lens)
             if hot_terms is None:
                 hot_row = np.ones(nrows, dtype=bool)
@@ -319,19 +351,24 @@ def _salt_split(cfg: IndexConfig, range_size: int, hot_terms: set[str] | None):
                 )
             starts = np.flatnonzero(boundary)
             seg_row = row_of[starts]
-            pid_arr = pdf["pid"].to_numpy()[seg_row]
-            term_arr = pdf["term"].to_numpy(object)[seg_row]
-            df_arr = pdf["df"].to_numpy()[seg_row]
-            cuts = starts[1:]
+            # re-delta at segment boundaries (absolute first per segment)
+            seg_gaps = ids_f.astype(np.uint64).copy()
+            seg_gaps[1:] = ids_f[1:].astype(np.uint64) - ids_f[:-1].astype(
+                np.uint64
+            )
+            seg_gaps[starts] = ids_f[starts].astype(np.uint64)
             out = pd.DataFrame(
                 {
-                    "pid": pid_arr,
-                    "term": term_arr,
+                    "pid": pdf["pid"].to_numpy()[seg_row],
+                    "term": pdf["term"].to_numpy(object)[seg_row],
                     "salt": salt_f[starts].astype(np.int32),
-                    "df": df_arr,
-                    "doc_ids": np.split(ids_f, cuts),
-                    "tfs": np.split(tfs_f, cuts),
-                    "dls": np.split(dls_f, cuts),
+                    "df": pdf["df"].to_numpy()[seg_row],
+                    "n": np.diff(np.append(starts, len(ids_f))).astype(
+                        np.int32
+                    ),
+                    "ids_enc": varint_encode_rows(seg_gaps, starts),
+                    "tfs_enc": varint_encode_rows(tfs_f, starts),
+                    "dls_enc": varint_encode_rows(dls_f, starts),
                 }
             )
             if len(out):
@@ -351,9 +388,12 @@ def _merge_compress(cfg: IndexConfig, n_docs: int, avgdl: float):
         term = pdf["term"].iloc[0]
         salt = int(pdf["salt"].iloc[0])
         df_t = int(pdf["df"].iloc[0])
-        ids = np.concatenate([np.asarray(a, np.int64) for a in pdf["doc_ids"]])
-        tfs = np.concatenate([np.asarray(a, np.int64) for a in pdf["tfs"]])
-        dls = np.concatenate([np.asarray(a, np.int64) for a in pdf["dls"]])
+        ns = pdf["n"].to_numpy(np.int64)
+        ids = delta_decode_blocks(
+            varint_decode_concat(pdf["ids_enc"]), ns
+        ).astype(np.int64)
+        tfs = varint_decode_concat(pdf["tfs_enc"]).astype(np.int64)
+        dls = varint_decode_concat(pdf["dls_enc"]).astype(np.int64)
         order = np.argsort(ids, kind="mergesort")
         ids, tfs, dls = ids[order], tfs[order], dls[order]
         idf_t = idf(n_docs, df_t)
@@ -525,16 +565,16 @@ def build_index(
     doc_rows = partials.filter(F.col("term") == DOC_PSEUDO_TERM)
     term_partials = partials.filter(
         F.col("term") != DOC_PSEUDO_TERM
-    ).select("pid", "term", "doc_ids", "tfs", "dls")
+    ).select("pid", "term", "n", "tf_sum", "ids_enc", "tfs_enc", "dls_enc")
 
     # --- stage: stats (B5/B6): docmap rides the pseudo rows -----------------
     docs = doc_rows.select(
         F.col("pid"),
-        F.explode(F.arrays_zip("doc_ids", "tfs", "urls", "langs", "fps")).alias("z"),
+        F.explode(F.arrays_zip("doc_ids", "dls", "urls", "langs", "fps")).alias("z"),
     ).select(
         "pid",
         F.col("z.doc_ids").alias("doc_id"),
-        F.col("z.tfs").cast("int").alias("dl"),
+        F.col("z.dls").cast("int").alias("dl"),
         F.col("z.urls").alias("url"),
         F.col("z.langs").alias("lang"),
         F.col("z.fps").alias("text_fp"),
@@ -547,10 +587,7 @@ def build_index(
 
     terms = (
         term_partials.groupBy("term")
-        .agg(
-            F.sum(F.size("doc_ids")).alias("df"),
-            F.sum(F.aggregate("tfs", F.lit(0).cast("long"), lambda a, x: a + x)).alias("cf"),
-        )
+        .agg(F.sum("n").alias("df"), F.sum("tf_sum").alias("cf"))
     ).persist()
 
     hot_thr = cfg.hot_threshold(n_docs)
@@ -564,12 +601,20 @@ def build_index(
     # --- stage: salted merge + compress (B7/B8) -----------------------------
     with_df = term_partials.join(terms.select("term", "df"), "term")
     salt_schema = T.StructType(
-        PARTIALS_SCHEMA.fields[:2]
-        + [T.StructField("salt", T.IntegerType()), T.StructField("df", T.LongType())]
-        + PARTIALS_SCHEMA.fields[2:5]  # doc_ids, tfs, dls (no docmap cols)
+        [
+            T.StructField("pid", T.IntegerType()),
+            T.StructField("term", T.StringType()),
+            T.StructField("salt", T.IntegerType()),
+            T.StructField("df", T.LongType()),
+            T.StructField("n", T.IntegerType()),
+            T.StructField("ids_enc", T.BinaryType()),
+            T.StructField("tfs_enc", T.BinaryType()),
+            T.StructField("dls_enc", T.BinaryType()),
+        ]
     )
     salted = with_df.select(
-        "pid", "term", F.lit(0).alias("salt"), "df", "doc_ids", "tfs", "dls"
+        "pid", "term", F.lit(0).alias("salt"), "df", "n",
+        "ids_enc", "tfs_enc", "dls_enc",
     ).mapInPandas(_salt_split(cfg, range_size, hot_terms), schema=salt_schema)
 
     postings = (
@@ -583,8 +628,8 @@ def build_index(
         term_partials.groupBy("pid")
         .agg(
             F.count("*").alias("n_terms"),
-            F.sum(F.size("doc_ids")).alias("n_postings"),
-            F.sum(F.aggregate("tfs", F.lit(0).cast("long"), lambda a, x: a + x)).alias("n_tokens"),
+            F.sum("n").alias("n_postings"),
+            F.sum("tf_sum").alias("n_tokens"),
         )
         .join(docs.groupBy("pid").agg(F.count("*").alias("n_docs")), "pid", "full")
     )
@@ -743,6 +788,7 @@ def _checkpointed_partials(
     out = spark.read.parquet(ckpt_path)
     # partitionBy moved pid to a partition column; restore column order/types
     return out.select(
-        F.col("pid").cast("int"), "term", "doc_ids", "tfs", "dls", "urls",
-        "langs", "fps",
+        F.col("pid").cast("int"), "term", "n", "tf_sum",
+        "ids_enc", "tfs_enc", "dls_enc",
+        "doc_ids", "dls", "urls", "langs", "fps",
     )

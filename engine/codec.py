@@ -191,6 +191,27 @@ def varint_sizes(values: np.ndarray) -> np.ndarray:
     return nbytes
 
 
+def varint_encode_rows(values: np.ndarray, starts: np.ndarray) -> list[bytes]:
+    """Varint-encode a flat value stream split into rows at `starts` (index
+    array, first element 0): ONE whole-stream encode pass, sliced at per-row
+    byte offsets. Used for transit encoding of shuffle payloads (SPIMI
+    partials) — ~4-6x fewer shuffle bytes than int64 arrays."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return []
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.append(starts[1:], v.size)
+    csum = np.concatenate(([0], np.cumsum(varint_sizes(v))))
+    full = varint_encode(v)
+    return [full[csum[s]:csum[e]] for s, e in zip(starts, ends)]
+
+
+def varint_decode_concat(bufs) -> np.ndarray:
+    """Decode many varint buffers in one vectorized pass (LEB128 is
+    self-delimiting) → one concatenated uint64 array in buffer order."""
+    return varint_decode(b"".join(bufs))
+
+
 def encode_blocks(values: np.ndarray, starts: np.ndarray) -> tuple[list[int], list[bytes]]:
     """Encode a group's value stream split into blocks at `starts` (index
     array, first element 0). Codec choice per block is analytic (predicted
