@@ -695,22 +695,33 @@ def build_index(
 
 
 def _pid_fingerprints(spimi_input: DataFrame) -> dict[int, int]:
-    """Per-pid input fingerprint (xxhash64-xor over url / warc_ts / text
-    length): a pure function of the pid's raw input rows, independent of
-    partitioning and row order. One column-pruned agg job — at 100 TB this
-    reads three narrow columns, a small fraction of the tokenize scan it
-    lets an incremental rebuild skip."""
+    """Per-pid input CONTENT fingerprint: xxhash64 over every column that
+    can change the pid's build output — url, warc_ts, the full text value
+    (not its length: same-length edits must invalidate), the html payload
+    (already masked upstream to the text-null rows that extraction actually
+    reads, so this costs nothing extra), and lang — combined per pid with an
+    order-insensitive but multiplicity-sensitive SUM mod 2^64 (xor would let
+    a row added twice cancel back to the old fingerprint). Pure function of
+    the pid's input multiset, independent of partitioning and row order.
+    At 100 TB this reads the same columns the skipped tokenize pass would,
+    minus the dominant html bytes for text-bearing rows — still a clear win
+    for an incremental rebuild."""
     cols = [F.col("url")]
     if "warc_ts" in spimi_input.columns:
-        cols.append(F.col("warc_ts").cast("long"))
-    cols.append(F.coalesce(F.octet_length("text"), F.lit(-1)))
+        cols.append(F.coalesce(F.col("warc_ts").cast("long"), F.lit(-1)))
+    cols.append(F.coalesce(F.col("text"), F.lit("\x00<null-text>")))
+    for opt in ("html", "lang"):
+        if opt in spimi_input.columns:
+            cols.append(F.coalesce(F.xxhash64(opt), F.lit(-1)))
     rows = (
         spimi_input.withColumn("_fp", F.xxhash64(*cols))
         .groupBy("pid")
-        .agg(F.expr("bit_xor(_fp)").alias("fp"))
+        # decimal sum: overflow-safe regardless of ANSI mode; reduced mod
+        # 2^64 driver-side (fingerprints are compared for equality only)
+        .agg(F.sum(F.col("_fp").cast("decimal(38,0)")).alias("fp"))
         .collect()
     )
-    return {int(r["pid"]): int(r["fp"]) for r in rows}
+    return {int(r["pid"]): int(r["fp"]) % (1 << 64) for r in rows}
 
 
 def _checkpointed_partials(

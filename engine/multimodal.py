@@ -55,7 +55,9 @@ def extract_audio_features(payload: bytes, n_mel: int = 8) -> list[float]:
     samples = (samples - 128.0) / 128.0
     if len(samples) == 0:
         return [0.0] * (n_mel + 2)
-    frame = max(1, len(samples) // n_mel)
+    if len(samples) < n_mel:  # zero-pad sub-band payloads (1..n_mel-1 bytes)
+        samples = np.pad(samples, (0, n_mel - len(samples)))
+    frame = len(samples) // n_mel
     usable = samples[: frame * n_mel].reshape(n_mel, frame)
     energy = np.sqrt((usable**2).mean(axis=1))  # per-band RMS
     zc = float(np.mean(np.abs(np.diff(np.signbit(samples).astype(np.int8)))))
@@ -79,11 +81,12 @@ def audio_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            payloads = [p if p is not None else b"" for p in pdf["html"]]
             yield pd.DataFrame(
                 {
                     "url": pdf["url"],
-                    "n_samples": [len(p) for p in pdf["html"]],
-                    "features": [extract_audio_features(p) for p in pdf["html"]],
+                    "n_samples": [len(p) for p in payloads],
+                    "features": [extract_audio_features(p) for p in payloads],
                 }
             )
 
@@ -94,7 +97,7 @@ def _media_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         if len(pdf) == 0:
             continue
-        payloads = pdf["html"]
+        payloads = [p if p is not None else b"" for p in pdf["html"]]
         dims = [decode_image(p) for p in payloads]
         yield pd.DataFrame(
             {

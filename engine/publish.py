@@ -72,21 +72,55 @@ def read_manifest(root: str, version: str | None = None) -> dict:
 
 
 def list_snapshots(root: str) -> list[dict]:
-    """Ordered snapshot history up to the committed manifest (an entry whose
-    manifest replace never landed is excluded)."""
+    """Ordered snapshot history: exactly the parent chain of the committed
+    manifest, oldest first. An entry whose manifest replace never landed is
+    excluded even after LATER publishes commit past it — the committed chain
+    never points at it (a torn v_1 on top of v_0 is followed by v_2 with
+    parent v_0), so walking parents from the current version drops phantoms
+    that mere log-position truncation would resurrect."""
     with open(os.path.join(root, "_manifest.json")) as f:
         current = json.load(f)["version"]
-    out = []
+    by_version: dict[str, dict] = {}
     path = os.path.join(root, "_snapshots.jsonl")
     if os.path.exists(path):
         with open(path) as f:
             for line in f:
                 line = line.strip()
                 if line:
-                    out.append(json.loads(line))
-    committed = []
-    for snap in out:
-        committed.append(snap)
-        if snap["version"] == current:
-            break
-    return committed
+                    snap = json.loads(line)
+                    by_version[snap["version"]] = snap
+    chain: list[dict] = []
+    v: str | None = current
+    while v is not None and v in by_version:
+        snap = by_version[v]
+        chain.append(snap)
+        v = snap.get("parent")
+    chain.reverse()
+    return chain
+
+
+def expire_snapshots(root: str, keep_last: int = 1) -> list[str]:
+    """Iceberg `expireSnapshots` analog: the snapshot log otherwise grows
+    unboundedly and every historical `v_*` directory stays on disk. Keeps the
+    newest ``keep_last`` committed snapshots (always including the current
+    manifest), deletes the version directories of everything older — plus
+    orphaned never-committed dirs — and rewrites the log to the kept tail so
+    `read_manifest(version=...)` can no longer pin an expired snapshot.
+    Returns the expired version names. The manifest itself is untouched:
+    current readers are never disturbed."""
+    import shutil
+
+    chain = list_snapshots(root)
+    keep = chain[-max(1, keep_last):]
+    kept_versions = {s["version"] for s in keep}
+    expired = []
+    for d in sorted(os.listdir(root)):
+        if d.startswith("v_") and d not in kept_versions:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            expired.append(d)
+    tmp = os.path.join(root, "_snapshots.jsonl.tmp")
+    with open(tmp, "w") as f:
+        for snap in keep:
+            f.write(json.dumps(snap) + "\n")
+    os.replace(tmp, os.path.join(root, "_snapshots.jsonl"))
+    return expired

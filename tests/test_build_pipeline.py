@@ -200,3 +200,39 @@ def test_bucket_byte_metrics(spark, built_index):
     terms = spark.read.parquet(built_index.terms_path)
     assert total_postings == terms.agg(F.sum("df")).collect()[0][0]
     assert all(r["encoded_bytes"] > 0 for r in bm)
+
+
+def test_pid_fingerprint_sees_content_changes(spark):
+    """Round-3 advice (engine/build.py _pid_fingerprints): the incremental
+    fingerprint must move for every change that can change the pid's build
+    output — same-length text edits, html edits on html-fallback rows, lang
+    changes, and duplicated rows — and must be invariant to row order and
+    partitioning."""
+    from datetime import datetime
+
+    from engine.build import _pid_fingerprints
+
+    rows = [
+        (0, "u://a", "alpha text", datetime(2024, 1, 1), None, "en"),
+        (0, "u://b", None, datetime(2024, 1, 2), b"<p>hb</p>", "en"),
+        (1, "u://c", "gamma", datetime(2024, 1, 3), None, "de"),
+    ]
+    schema = "pid int, url string, text string, warc_ts timestamp, html binary, lang string"
+
+    def fp(rs, n=4):
+        return _pid_fingerprints(spark.createDataFrame(rs, schema).repartition(n))
+
+    base = fp(rows)
+    # order/partitioning invariance
+    assert fp(list(reversed(rows)), n=2) == base
+    # same-byte-length text edit (the case length-only hashing missed)
+    assert fp([(0, "u://a", "alpha tex7", *rows[0][3:]), rows[1], rows[2]]) != base
+    # html edit on a text-null (fallback) row
+    assert fp([rows[0], (0, "u://b", None, rows[1][3], b"<p>hc</p>", "en"), rows[2]]) != base
+    # lang change
+    assert fp([rows[0], rows[1], (1, "u://c", "gamma", rows[2][3], None, "fr")]) != base
+    # duplicated row must not cancel (sum combine, not xor)
+    assert fp(rows + [rows[0]]) != base
+    # unrelated pid untouched
+    moved = fp([(0, "u://a", "ALPHA", *rows[0][3:]), rows[1], rows[2]])
+    assert moved[1] == base[1] and moved[0] != base[0]

@@ -55,3 +55,22 @@ def test_audio_features_shape_and_determinism(spark):
     f2 = extract_audio_features(b"RIFF....abcdef" * 10)
     assert f1 == f2
     assert extract_audio_features(b"") == [0.0] * 10
+
+
+def test_audio_features_short_and_null_payloads(spark):
+    """Round-3 advice: 1-7 byte payloads must not crash the reshape, and
+    null html rows must be treated as empty audio, not a task failure."""
+    from engine.multimodal import audio_features, extract_audio_features
+
+    for n in range(0, 10):  # covers empty, sub-band (1..7), and >= n_mel
+        feats = extract_audio_features(bytes(range(n)))
+        assert len(feats) == 10 and all(f == f for f in feats)
+
+    df = spark.createDataFrame(
+        [("u://0", None), ("u://1", b"\x03"), ("u://2", b"0123456789")],
+        "url string, html binary",
+    )
+    rows = {r["url"]: r for r in audio_features(df).collect()}
+    assert rows["u://0"]["n_samples"] == 0
+    assert rows["u://1"]["n_samples"] == 1
+    assert len(rows["u://2"]["features"]) == 10

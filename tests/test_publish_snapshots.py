@@ -73,3 +73,47 @@ def test_writer_failure_leaves_manifest_untouched(tmp_path):
         atomic_publish(root, bad_writer)
     assert read_manifest(root)["version"] == "v_0"
     assert [s["version"] for s in list_snapshots(root)] == ["v_0"]
+
+
+def test_phantom_entry_stays_invisible_after_later_commits(tmp_path):
+    """Round-3 advice: a torn publish's log entry must not become
+    retroactively visible once LATER publishes commit past it — the
+    committed parent chain never includes the phantom."""
+    root = str(tmp_path / "idx")
+    _publish(root, "alpha")  # v_0 committed
+    # torn publish: v_1 dir + log line exist, manifest never moved
+    os.makedirs(os.path.join(root, "v_1"))
+    with open(os.path.join(root, "_snapshots.jsonl"), "a") as f:
+        f.write(json.dumps({"version": "v_1", "parent": "v_0",
+                            "published_at": 0, "stats": {}}) + "\n")
+    _publish(root, "beta")  # commits v_2 with parent v_0
+
+    assert read_manifest(root)["version"] == "v_2"
+    assert read_manifest(root)["parent"] == "v_0"
+    assert [s["version"] for s in list_snapshots(root)] == ["v_0", "v_2"]
+    with pytest.raises(KeyError):
+        read_manifest(root, version="v_1")
+
+
+def test_expire_snapshots(tmp_path):
+    """expireSnapshots analog: expired versions become unreadable and their
+    dirs are gone; kept versions + manifest are intact; orphan dirs pruned."""
+    from engine.publish import expire_snapshots
+
+    root = str(tmp_path / "idx")
+    for p in ("alpha", "beta", "gamma", "delta"):
+        _publish(root, p)
+    os.makedirs(os.path.join(root, "v_77"))  # orphan, never committed
+
+    expired = expire_snapshots(root, keep_last=2)
+    assert expired == ["v_0", "v_1", "v_77"]
+    assert read_manifest(root)["version"] == "v_3"  # manifest untouched
+    assert [s["version"] for s in list_snapshots(root)] == ["v_2", "v_3"]
+    for v, alive in (("v_0", False), ("v_1", False), ("v_2", True), ("v_3", True)):
+        assert os.path.isdir(os.path.join(root, v)) is alive
+    with open(os.path.join(root, "v_3", "data.json")) as f:
+        assert json.load(f) == "delta"
+    with pytest.raises(KeyError):
+        read_manifest(root, version="v_0")
+    # pinning a kept historical version still works
+    assert read_manifest(root, version="v_2")["stats"]["payload"] == "gamma"
