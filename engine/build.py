@@ -314,17 +314,28 @@ def _fused_spimi(cfg: IndexConfig, dedup: bool):
     return fn
 
 
-def _salt_split(cfg: IndexConfig, range_size: int, hot_terms: set[str] | None):
+def _salt_split(cfg: IndexConfig, range_size: int, hot_thr: int):
     """Narrow map: split hot-term partials at doc-range boundaries so the
-    term shuffle is salted (B7). hot_terms=None ⇒ salt every term (used when
-    the hot set is too large to broadcast; sandbox always passes the set)."""
+    term shuffle is salted (B7). Hotness comes from the already-joined `df`
+    column (df ≥ hot_thr) — no separate collect job or broadcast set. Cold
+    rows (the vast majority of the vocabulary) pass through untouched:
+    decoding and re-encoding a single-segment row is a byte identity, so
+    skipping it changes nothing downstream and saves a full decode+encode
+    pass over ~90% of rows."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            # vectorized over the whole batch: bulk-decode every partial's
-            # transit buffers once, compute per-posting salt keys, cut at
+            hot_row = pdf["df"].to_numpy(np.int64) >= hot_thr
+            cold = pdf.loc[~hot_row]
+            if len(cold):
+                yield cold  # already salt_schema-shaped, salt=0
+            pdf = pdf.loc[hot_row].reset_index(drop=True)
+            if len(pdf) == 0:
+                continue
+            # vectorized over the hot slice: bulk-decode the transit
+            # buffers once, compute per-posting salt keys, cut at
             # (row, salt) boundaries, and re-encode the segments with one
             # pass per stream. Postings inside a partial are doc-sorted
             # (SPIMI emits sorted runs), so salts are monotonic within a
@@ -336,13 +347,7 @@ def _salt_split(cfg: IndexConfig, range_size: int, hot_terms: set[str] | None):
             tfs_f = varint_decode_concat(pdf["tfs_enc"])
             dls_f = varint_decode_concat(pdf["dls_enc"])
             row_of = np.repeat(np.arange(nrows, dtype=np.int64), lens)
-            if hot_terms is None:
-                hot_row = np.ones(nrows, dtype=bool)
-            else:
-                hot_row = pdf["term"].isin(hot_terms).to_numpy()
-            salt_f = np.where(
-                hot_row[row_of], ids_f // range_size + 1, 0
-            ).astype(np.int64)
+            salt_f = (ids_f // range_size + 1).astype(np.int64)
             boundary = np.empty(len(ids_f), dtype=bool)
             if len(ids_f):
                 boundary[0] = True
@@ -378,44 +383,89 @@ def _salt_split(cfg: IndexConfig, range_size: int, hot_terms: set[str] | None):
 
 
 def _merge_compress(cfg: IndexConfig, n_docs: int, avgdl: float):
-    """applyInPandas body per (term, salt): merge-sort partials, block-chunk,
-    delta + varint/FOR compress (analytic per-block codec choice, one
-    vectorized encode pass per stream), per-block max BM25 score (B8/B13)."""
+    """Merge + compress over a (term, salt)-sorted partition stream: merge-
+    sort each group's partials, block-chunk, delta + varint/FOR compress
+    (analytic per-block codec choice, one vectorized encode pass per
+    stream), per-block max BM25 score (B8/B13).
+
+    Runs as mapInPandas over `repartition(term, salt).sortWithinPartitions`
+    rather than groupBy().applyInPandas: the vocabulary has millions of
+    tiny groups and grouped-map materializes a pandas DataFrame per group —
+    pure per-group overhead that dominates the phase (measured 8 s of an
+    11 s build at 5k docs). Here every Arrow batch is processed as ONE
+    vectorized pass across all its groups (group ids from term/salt change
+    detection, one lexsort, reduceat aggregation, batched encodes); a group
+    that straddles an Arrow batch boundary is held back and stitched onto
+    the next batch, so each group is still compressed exactly once, whole."""
     k1, b, bs = cfg.k1, cfg.b, cfg.block_size
     n_buckets = cfg.n_term_buckets
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        term = pdf["term"].iloc[0]
-        salt = int(pdf["salt"].iloc[0])
-        df_t = int(pdf["df"].iloc[0])
+    def process(pdf: pd.DataFrame) -> pd.DataFrame:
+        nrows = len(pdf)
         ns = pdf["n"].to_numpy(np.int64)
         ids = delta_decode_blocks(
             varint_decode_concat(pdf["ids_enc"]), ns
         ).astype(np.int64)
         tfs = varint_decode_concat(pdf["tfs_enc"]).astype(np.int64)
         dls = varint_decode_concat(pdf["dls_enc"]).astype(np.int64)
-        order = np.argsort(ids, kind="mergesort")
+        terms_arr = pdf["term"].to_numpy(object)
+        salts_arr = pdf["salt"].to_numpy(np.int32)
+        new_grp = np.empty(nrows, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (terms_arr[1:] != terms_arr[:-1]) | (
+            salts_arr[1:] != salts_arr[:-1]
+        )
+        grp_of_row = np.cumsum(new_grp) - 1
+        n_grp = int(grp_of_row[-1]) + 1
+        grp_first_row = np.flatnonzero(new_grp)
+        # one stable sort puts every group's postings in doc order (doc ids
+        # are unique within a group: a doc lives in exactly one pid)
+        grp_of_post = np.repeat(grp_of_row, ns)
+        if len(grp_of_post) == 0:
+            return pd.DataFrame()
+        order = np.lexsort((ids, grp_of_post))
         ids, tfs, dls = ids[order], tfs[order], dls[order]
-        idf_t = idf(n_docs, df_t)
-        contrib = idf_t * bm25_tf_norm(tfs, dls, k1, b, avgdl)
-        bucket = zlib.crc32(term.encode("utf-8")) % n_buckets
-        n_post = len(ids)
-        starts = np.arange(0, n_post, bs, dtype=np.int64)
-        ends = np.append(starts[1:], n_post)
-        # delta with per-block absolute first value (self-contained blocks)
+        gsorted = grp_of_post[order]
+        grp_counts = np.bincount(grp_of_post, minlength=n_grp)
+        grp_off = np.concatenate(([0], np.cumsum(grp_counts)))
+        # block starts: every bs-th posting within its group
+        pos_in_grp = np.arange(len(ids), dtype=np.int64) - grp_off[gsorted]
+        starts = np.flatnonzero(pos_in_grp % bs == 0)
+        ends = np.append(starts[1:], len(ids))
+        blk_grp = gsorted[starts]
+        # per-group scoring inputs
+        df_g = pdf["df"].to_numpy(np.int64)[grp_first_row]
+        contrib = idf(n_docs, df_g)[gsorted] * bm25_tf_norm(
+            tfs, dls, k1, b, avgdl
+        )
+        max_scores = np.maximum.reduceat(contrib, starts)
+        # delta with per-block absolute first value (self-contained blocks;
+        # group boundaries always coincide with block starts, so deltas
+        # never leak across groups)
         gaps = ids.astype(np.uint64).copy()
         gaps[1:] = ids[1:].astype(np.uint64) - ids[:-1].astype(np.uint64)
         gaps[starts] = ids[starts].astype(np.uint64)
         ci, ebufs = encode_blocks(gaps, starts)
         ct, tbufs = encode_blocks(tfs.astype(np.uint64), starts)
         cd, dbufs = encode_blocks(dls.astype(np.uint64), starts)
-        max_scores = np.maximum.reduceat(contrib, starts)
-        nb = len(starts)
+        # block_seq = block index minus its group's first block index
+        blk_first = np.empty(len(starts), dtype=bool)
+        blk_first[0] = True
+        blk_first[1:] = blk_grp[1:] != blk_grp[:-1]
+        grp_blk0 = np.zeros(n_grp, dtype=np.int64)
+        first_idx = np.flatnonzero(blk_first)
+        grp_blk0[blk_grp[first_idx]] = first_idx
+        blk_seq = np.arange(len(starts), dtype=np.int64) - grp_blk0[blk_grp]
+        term_g = terms_arr[grp_first_row]
+        bucket_g = np.asarray(
+            [zlib.crc32(t.encode("utf-8")) % n_buckets for t in term_g],
+            dtype=np.int32,
+        )
         return pd.DataFrame(
             {
-                "term": [term] * nb,
-                "salt": np.full(nb, salt, dtype=np.int32),
-                "block_seq": np.arange(nb, dtype=np.int32),
+                "term": term_g[blk_grp],
+                "salt": salts_arr[grp_first_row][blk_grp],
+                "block_seq": blk_seq.astype(np.int32),
                 "n": (ends - starts).astype(np.int32),
                 "first_doc_id": ids[starts],
                 "last_doc_id": ids[ends - 1],
@@ -426,9 +476,32 @@ def _merge_compress(cfg: IndexConfig, n_docs: int, avgdl: float):
                 "tfs_enc": tbufs,
                 "codec_dls": np.asarray(cd, dtype=np.int32),
                 "dls_enc": dbufs,
-                "bucket": np.full(nb, bucket, dtype=np.int32),
+                "bucket": bucket_g[blk_grp],
             }
         )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        held: pd.DataFrame | None = None  # trailing (possibly split) group
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if held is not None:
+                pdf = pd.concat([held, pdf], ignore_index=True)
+            t = pdf["term"].to_numpy(object)
+            s = pdf["salt"].to_numpy()
+            tail = (t == t[-1]) & (s == s[-1])
+            if tail.all():  # whole batch is one group — keep accumulating
+                held = pdf
+                continue
+            cut = len(pdf) - int(np.argmin(tail[::-1]))
+            held = pdf.iloc[cut:].reset_index(drop=True)
+            out = process(pdf.iloc[:cut].reset_index(drop=True))
+            if len(out):
+                yield out
+        if held is not None and len(held):
+            out = process(held)
+            if len(out):
+                yield out
 
     return fn
 
@@ -590,12 +663,9 @@ def build_index(
         .agg(F.sum("n").alias("df"), F.sum("tf_sum").alias("cf"))
     ).persist()
 
+    # hotness is decided per row from the joined df column inside
+    # _salt_split — no driver collect of the hot-term set, no broadcast
     hot_thr = cfg.hot_threshold(n_docs)
-    _t = time.time()
-    hot_terms = {
-        r["term"] for r in terms.filter(F.col("df") >= hot_thr).select("term").collect()
-    }
-    phases["term_stats"] = round(time.time() - _t, 3)
     range_size = cfg.range_size(n_docs)
 
     # --- stage: salted merge + compress (B7/B8) -----------------------------
@@ -613,14 +683,18 @@ def build_index(
         ]
     )
     salted = with_df.select(
-        "pid", "term", F.lit(0).alias("salt"), "df", "n",
+        "pid", "term", F.lit(0).cast("int").alias("salt"), "df", "n",
         "ids_enc", "tfs_enc", "dls_enc",
-    ).mapInPandas(_salt_split(cfg, range_size, hot_terms), schema=salt_schema)
+    ).mapInPandas(_salt_split(cfg, range_size, hot_thr), schema=salt_schema)
 
+    # repartition + sortWithinPartitions + streaming mapInPandas instead of
+    # groupBy().applyInPandas: same (term, salt) co-location and the same
+    # one shuffle, but each task compresses thousands of groups per Arrow
+    # batch in one vectorized pass (see _merge_compress docstring)
     postings = (
         salted.repartition(F.col("term"), F.col("salt"))
-        .groupBy("term", "salt")
-        .applyInPandas(_merge_compress(cfg, n_docs, avgdl), schema=POSTINGS_SCHEMA)
+        .sortWithinPartitions("term", "salt")
+        .mapInPandas(_merge_compress(cfg, n_docs, avgdl), schema=POSTINGS_SCHEMA)
     )
 
     # --- stage: per-partition lineage metrics (B15) --------------------------
