@@ -62,6 +62,11 @@ TOPK_SCHEMA = T.StructType(
 )
 
 
+# postings per WAND shard task (~10 ms kernel time); module-level so tests
+# can shrink it to force the multi-shard path on tiny corpora
+WAND_SHARD_TARGET = 512_000
+
+
 def parse_query(query: str) -> list[str]:
     """B10: same analyzer as the build path; duplicate terms collapse (their
     contribution is per unique term, matching Lucene's boolean-sum)."""
@@ -144,8 +149,15 @@ def _brute_scorer(stats: dict, k1: float, b: float, avgdl: float):
 
 
 def _wand_shard_scorer(stats: dict, k1: float, b: float, avgdl: float, k: int,
-                       conjunctive: bool, n_query_terms: int, range_size: int):
+                       conjunctive: bool, n_query_terms: int, range_size: int,
+                       floor: float | None = None):
     """Exact interval-sweep block-max WAND over one doc-range shard.
+
+    floor mode (``floor`` set): instead of the top-k heap, return EVERY doc
+    in the shard with score >= floor — used by the url tie-break to fetch
+    the complete kth-score tie group when the heap path may have truncated
+    it (block-max pruning still applies: intervals with UB < floor are
+    skipped). Scores are bit-identical to heap mode (same kernel).
 
     A block overlapping several doc-range shards is replicated to each (the
     explode in query_topk), so every shard sees every block covering its own
@@ -211,12 +223,18 @@ def _wand_shard_scorer(stats: dict, k1: float, b: float, avgdl: float, k: int,
             ub = np.where(valid, ub, 0.0)
         order = np.argsort(-ub, kind="stable")
         heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+        flo_ids: list[np.ndarray] = []
+        flo_scores: list[np.ndarray] = []
+        flo_nts: list[np.ndarray] = []
         nterms_out: dict[int, int] = {}
         decoded: dict[tuple[str, int], tuple] = {}
         for ii in order:
             if ub[ii] <= 0:
                 break
-            if len(heap) >= k and ub[ii] < heap[0][0]:
+            if floor is not None:
+                if ub[ii] < floor:
+                    break  # ub sorted desc: nothing below can reach floor
+            elif len(heap) >= k and ub[ii] < heap[0][0]:
                 break  # every remaining interval is provably dominated
             ids_parts: list[np.ndarray] = []
             con_parts: list[np.ndarray] = []
@@ -250,6 +268,13 @@ def _wand_shard_scorer(stats: dict, k1: float, b: float, avgdl: float, k: int,
             if conjunctive:
                 sel = nts == n_query_terms
                 uniq, scores, nts = uniq[sel], scores[sel], nts[sel]
+            if floor is not None:  # collect the whole >= floor set, no heap
+                sel = scores >= floor
+                if sel.any():
+                    flo_ids.append(uniq[sel])
+                    flo_scores.append(scores[sel])
+                    flo_nts.append(nts[sel])
+                continue
             if len(heap) >= k:  # only candidates that can beat the threshold
                 thr_s, thr_nd = heap[0]
                 sel = (scores > thr_s) | ((scores == thr_s) & (-uniq > thr_nd))
@@ -262,6 +287,16 @@ def _wand_shard_scorer(stats: dict, k1: float, b: float, avgdl: float, k: int,
                 elif item > heap[0]:
                     heapq.heapreplace(heap, item)
                     nterms_out[d] = nt
+        if floor is not None:
+            if not flo_ids:
+                return empty
+            return pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(flo_ids).astype(np.int64),
+                    "score": np.concatenate(flo_scores).astype(np.float64),
+                    "n_terms": np.concatenate(flo_nts).astype(np.int32),
+                }
+            )
         top = sorted(((s, -nd) for s, nd in heap), key=lambda x: (-x[0], x[1]))
         return pd.DataFrame(
             {
@@ -382,8 +417,7 @@ def query_topk(
         range_size = handle.stats["range_size"]
         n_ranges = handle.stats.get("n_doc_ranges", 32)
         total_df = sum(st[t]["df"] for t in terms)
-        TARGET = 512_000  # postings per shard task (~10 ms kernel time)
-        n_groups = max(1, min(n_ranges, -(-total_df // TARGET)))
+        n_groups = max(1, min(n_ranges, -(-total_df // WAND_SHARD_TARGET)))
         width = range_size * (-(-n_ranges // n_groups))
         if n_groups == 1:
             # single shard ⇒ no co-location needed: fold the pruned scan into
@@ -422,15 +456,55 @@ def query_topk(
             local = shard.groupBy("shard").applyInPandas(scorer, TOPK_SCHEMA)
         if tiebreak == "url":
             # ≤ shards·k candidate rows: collect, resolve urls driver-side,
-            # re-sort by the oracle tie-break. Exact whenever the kth and
-            # (k+1)th scores differ within every shard (verified by the
-            # entry's oracle row); candidate set is tiny so this is one job.
+            # re-sort by the oracle tie-break. EXACT: every doc scoring
+            # strictly above the global kth candidate score s_k is provably
+            # in the candidate set (a shard that dropped it would have had
+            # k better rows, pushing s_k above that doc's score). Only docs
+            # TYING s_k can be missing — detectable as a shard that
+            # returned exactly k rows with min score == s_k. When detected,
+            # one floor-mode rescan (score >= s_k, block-max pruned)
+            # fetches the complete tie group before the url sort.
             cand_rows = local.collect()
-            ids = [int(r["doc_id"]) for r in cand_rows]
-            url_map = _resolve_urls(spark, handle, ids)
+            cand = {int(r["doc_id"]): float(r["score"]) for r in cand_rows}
+            if len(cand) >= k > 0:
+                s_k = sorted(cand.values(), reverse=True)[k - 1]
+                per_shard: dict[int, list[float]] = {}
+                for r in cand_rows:
+                    sh = 0 if n_groups == 1 else int(r["doc_id"]) // width
+                    per_shard.setdefault(sh, []).append(float(r["score"]))
+                if any(len(v) == k and min(v) == s_k
+                       for v in per_shard.values()):
+                    fscorer = _wand_shard_scorer(
+                        st, k1, b, avgdl, k, conjunctive, len(terms),
+                        (1 << 62) if n_groups == 1 else width, floor=s_k,
+                    )
+                    if n_groups == 1:
+                        def _single_f(batches):
+                            pdfs = [p for p in batches if len(p)]
+                            if pdfs:
+                                yield fscorer(
+                                    pd.concat(pdfs, ignore_index=True)
+                                )
+
+                        extra = (
+                            blocks.withColumn(
+                                "shard", F.lit(0).cast("long")
+                            )
+                            .coalesce(1)
+                            .mapInPandas(_single_f, TOPK_SCHEMA)
+                            .collect()
+                        )
+                    else:
+                        extra = (
+                            shard.groupBy("shard")
+                            .applyInPandas(fscorer, TOPK_SCHEMA)
+                            .collect()
+                        )
+                    for r in extra:
+                        cand.setdefault(int(r["doc_id"]), float(r["score"]))
+            url_map = _resolve_urls(spark, handle, list(cand))
             ranked = sorted(
-                ((float(r["score"]), url_map.get(int(r["doc_id"])),
-                  int(r["doc_id"])) for r in cand_rows),
+                ((s, url_map.get(d), d) for d, s in cand.items()),
                 key=lambda x: (-x[0], x[1]),
             )[:k]
             pdf = pd.DataFrame(
@@ -593,12 +667,17 @@ def query_topk_local(
     if len(uniq) == 0:
         return empty.drop(*([] if with_url else ["url"]))
     if tiebreak == "url":
-        # oracle tie-break: over-fetch by (score, doc_id), resolve urls for
-        # the candidate margin, re-sort by (score desc, url). Exact whenever
-        # fewer than the margin tie at the kth score.
-        m = min(len(uniq), max(3 * k, k + 32))
-        order2 = np.lexsort((uniq, -scores))[:m]
-        cand_ids, cand_scores = uniq[order2], scores[order2]
+        # oracle tie-break, EXACT: all matching docs' scores are in memory
+        # here, so take every doc scoring above the kth score plus the
+        # ENTIRE kth-score tie group (ties are exact float equalities — all
+        # scores come from the same kernel), resolve urls for just that
+        # set, re-sort by (score desc, url). No heuristic margin.
+        if len(scores) > k:
+            s_k = -np.partition(-scores, k - 1)[k - 1]
+            sel = scores >= s_k
+            cand_ids, cand_scores = uniq[sel], scores[sel]
+        else:
+            cand_ids, cand_scores = uniq, scores
         dd = ds.dataset(handle.docs_path, format="parquet")
         dt = dd.to_table(
             columns=["doc_id", "url"],
