@@ -142,14 +142,7 @@ def dedup_jaccard_exact(spark, sf_dir):
     pairs that share ≥1 shingle."""
     sh = _shingles(docs_with_neardups(spark, sf_dir))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    x = sh.alias("x")
-    y = sh.alias("y")
-    inter = (
-        x.join(y, (F.col("x.shingle") == F.col("y.shingle"))
-               & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .agg(F.count("*").alias("i"))
-    )
+    inter = _pair_intersections(sh)  # skew-safe: hot shingles triangle-split
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
     j = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
@@ -238,6 +231,50 @@ def _doc_shingle_hashes(
     return docs[keep], sh[keep]
 
 
+# a shingle shared by more docs than this is "hot": its pair generation is
+# triangle-decomposed over HOT_SHINGLE_BUCKETS² join keys instead of one
+HOT_SHINGLE_DF = 64
+HOT_SHINGLE_BUCKETS = 8
+
+
+def _pair_intersections(sh: DataFrame) -> DataFrame:
+    """Exact per-pair shared-shingle counts (a < b) from a (doc_id, shingle)
+    table, skew-safe: a stopword-grade shingle shared by d docs puts d² work
+    on ONE reducer key in a naive self-join. Hot shingles (doc count >
+    HOT_SHINGLE_DF, a tiny broadcastable set) are triangle-decomposed: each
+    side is replicated across m buckets keyed by (shingle, p, q), so pair
+    (a, b) with doc-hash buckets (p_a, q_b) matches exactly once at key
+    (shingle, p_a, q_b) and the per-key cardinality is bounded by (d/m)²
+    instead of d². Output counts are identical to the naive join — the
+    exact-Jaccard oracle is unchanged."""
+    m = HOT_SHINGLE_BUCKETS
+    counts = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+    hot = counts.filter(F.col("sdf") > HOT_SHINGLE_DF).select("shingle")
+    sh_cold = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh_hot = sh.join(F.broadcast(hot), "shingle", "left_semi")
+    bkt = (F.abs(F.xxhash64(F.col("doc_id"))) % m).cast("int")
+    seq = F.explode(F.sequence(F.lit(0), F.lit(m - 1)))
+    hx = sh_hot.withColumn("p", bkt).withColumn("q", seq)
+    hy = sh_hot.withColumn("q", bkt).withColumn("p", seq)
+    hot_matches = hx.alias("x").join(
+        hy.alias("y"),
+        (F.col("x.shingle") == F.col("y.shingle"))
+        & (F.col("x.p") == F.col("y.p"))
+        & (F.col("x.q") == F.col("y.q"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    ).select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+    cold_matches = sh_cold.alias("x").join(
+        sh_cold.alias("y"),
+        (F.col("x.shingle") == F.col("y.shingle"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    ).select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+    return (
+        cold_matches.unionByName(hot_matches)
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("i"))
+    )
+
+
 def _minhash_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """MinHash(64) → 16 LSH band keys per doc. No per-doc Python: shingle
     hashing is a vectorized rolling hash over the batch's flattened token
@@ -307,13 +344,8 @@ def dedup_minhash_lsh(spark, sf_dir):
     # the self-join (asserted by tests/test_scale_plans.py)
     sh = _shingles(docs).join(cand_ids, "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    x = sh.alias("x")
-    y = sh.alias("y")
     inter = (
-        x.join(y, (F.col("x.shingle") == F.col("y.shingle"))
-               & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .agg(F.count("*").alias("i"))
+        _pair_intersections(sh)
         .join(cand, ["a", "b"], "left_semi")
     )
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
