@@ -42,13 +42,17 @@ _PRIORITY = [
     # streaming surface
     "stream_tumbling_window", "stream_sliding_window", "stream_session_window",
     "stream_dedup", "stream_static_join",
-    # representative relational slice (the rest follows in original order)
-    "scan_project_filter", "filter_predicates", "filter_string_ops",
-    "join_broadcast_dims", "join_smj_fact", "join_left_outer", "join_anti",
-    "join_range_events", "join_asof_events", "join_skew_salted",
-    "agg_tpch_q1", "agg_rollup", "agg_cube", "agg_nested_collect",
-    "win_topk_per_group", "sort_topk_global", "udf_pandas_scalar",
+    # relational slice — rotated each round so every registry entry gets a
+    # fresh driver row within two rounds (round 2 ran scans/joins/aggs/
+    # windows; round 3 rotates in the set ops, scalar-function families,
+    # UDF/UDAF/UDTF, grouping sets, pivot/unpivot, percentiles, global sort)
+    "sort_topk_global", "udf_pandas_scalar", "udtf_token_expand",
+    "udaf_grouped_agg", "win_lag_sessions", "win_ranks",
+    "agg_grouping_sets", "pivot_status", "unpivot_stack",
+    "set_intersect", "set_except_all", "set_union_distinct",
+    "fn_json", "fn_from_json", "fn_percentile",
 ]
+assert len(_PRIORITY) == 50, len(_PRIORITY)  # driver runs exactly 50
 
 
 def _registry():
