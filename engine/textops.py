@@ -581,43 +581,144 @@ LANGID_SCHEMA = T.StructType(
     ]
 )
 
-# tiny deterministic char-trigram profiles (the fixture text shares one
-# vocabulary across langs, so this demonstrates the plumbing, not accuracy)
-_PROFILES = {
-    "en": ["the", "he ", " th", "ing", "and"],
-    "de": ["der", "ein", "sch", "ich", "und"],
-    "fr": ["les", "des", " de", "ent", "que"],
-    "es": ["los", " de", "que", "ión", "ent"],
-    "zh": ["的", "是", "了", "在", "我"],
+# Profiles are GENERATED at import from embedded public-domain training
+# text: the Universal Declaration of Human Rights, Article 1, in each
+# language — the standard reference corpus for language-ID experiments
+# (Cavnar & Trenkle-style char-n-gram profiling). Reproducible and
+# dependency-free; no hand-tuned gram lists.
+_LANGID_TRAIN = {
+    "en": "all human beings are born free and equal in dignity and rights "
+          "they are endowed with reason and conscience and should act "
+          "towards one another in a spirit of brotherhood",
+    # de/nl are the closest pair in the set; both get UDHR Article 2 as
+    # well so the profiles separate on function words (das/war/nach/oder
+    # vs het/van/ook/zoals)
+    "de": "alle menschen sind frei und gleich an würde und rechten geboren "
+          "sie sind mit vernunft und gewissen begabt und sollen einander im "
+          "geist der brüderlichkeit begegnen "
+          "jeder hat anspruch auf alle in dieser erklärung verkündeten "
+          "rechte und freiheiten ohne irgendeinen unterschied etwa nach "
+          "rasse hautfarbe geschlecht sprache religion politischer oder "
+          "sonstiger anschauung "
+          "da die anerkennung der angeborenen würde und der gleichen und "
+          "unveräußerlichen rechte aller mitglieder der gemeinschaft der "
+          "menschen die grundlage von freiheit gerechtigkeit und frieden "
+          "in der welt bildet da die nichtanerkennung und verachtung der "
+          "menschenrechte zu akten der barbarei geführt haben die das "
+          "gewissen der menschheit mit empörung erfüllen",
+    "fr": "tous les êtres humains naissent libres et égaux en dignité et en "
+          "droits ils sont doués de raison et de conscience et doivent agir "
+          "les uns envers les autres dans un esprit de fraternité",
+    "es": "todos los seres humanos nacen libres e iguales en dignidad y "
+          "derechos y dotados como están de razón y conciencia deben "
+          "comportarse fraternalmente los unos con los otros",
+    "it": "tutti gli esseri umani nascono liberi ed eguali in dignità e "
+          "diritti essi sono dotati di ragione e di coscienza e devono "
+          "agire gli uni verso gli altri in spirito di fratellanza",
+    "pt": "todos os seres humanos nascem livres e iguais em dignidade e em "
+          "direitos dotados de razão e de consciência devem agir uns para "
+          "com os outros em espírito de fraternidade",
+    "nl": "alle mensen worden vrij en gelijk in waardigheid en rechten "
+          "geboren zij zijn begiftigd met verstand en geweten en behoren "
+          "zich jegens elkander in een geest van broederschap te gedragen "
+          "een ieder heeft aanspraak op alle rechten en vrijheden in deze "
+          "verklaring opgesomd zonder enig onderscheid van welke aard ook "
+          "zoals ras kleur geslacht taal godsdienst politieke of andere "
+          "overtuiging "
+          "overwegende dat erkenning van de inherente waardigheid en van "
+          "de gelijke en onvervreemdbare rechten van alle leden van de "
+          "mensengemeenschap grondslag is voor de vrijheid gerechtigheid "
+          "en vrede in de wereld overwegende dat terzijdestelling van en "
+          "minachting voor de rechten van de mens geleid hebben tot "
+          "barbaarse handelingen die het geweten van de mensheid geweld "
+          "hebben aangedaan",
+    "ru": "все люди рождаются свободными и равными в своем достоинстве и "
+          "правах они наделены разумом и совестью и должны поступать в "
+          "отношении друг друга в духе братства",
+    "zh": "人人生而自由 在尊严和权利上一律平等 他们赋有理性和良心 并应以兄弟关系的精神相对待",
 }
+
+_TRI_P = (np.uint64(0x100000001B3), np.uint64(0x9E3779B97F4A7C15),
+          np.uint64(0xC2B2AE3D27D4EB4F))
+_UNI_P = np.uint64((0x100000001B3 * 0x9E3779B97F4A7C15) % (1 << 64))
+
+
+def _ngram_hashes(s: str) -> tuple[np.ndarray, np.ndarray]:
+    """(hashes, start positions) of all char 1-, 2- and 3-grams, one
+    vectorized pass per order (UTF-32 view → rolling polynomial mod 2^64).
+    Unigrams and bigrams carry most of the signal for CJK scripts (Cavnar &
+    Trenkle use 1..5-grams for the same reason); the three orders use
+    disjoint mixer sets so an n-gram never collides with a
+    different-order one."""
+    c = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    parts = [c * _UNI_P]
+    pos = [np.arange(len(c), dtype=np.int64)]
+    if len(c) >= 2:
+        parts.append(c[:-1] * _TRI_P[1] + c[1:] * _TRI_P[2])
+        pos.append(np.arange(len(c) - 1, dtype=np.int64))
+    if len(c) >= 3:
+        parts.append(c[:-2] * _TRI_P[0] + c[1:-1] * _TRI_P[1] + c[2:] * _TRI_P[2])
+        pos.append(np.arange(len(c) - 2, dtype=np.int64))
+    return np.concatenate(parts), np.concatenate(pos)
+
+
+def _build_profiles(train: dict[str, str]) -> dict[str, tuple]:
+    """lang → (sorted n-gram hashes, tf-idf weights): relative in-language
+    frequency × log(n_langs / df). The log idf zeroes n-grams present in
+    EVERY profile (spaces, universal latin vowels) — without it those few
+    high-frequency grams decide close pairs (measured: de-vs-nl margins
+    were carried entirely by ' ' and 'e')."""
+    raw = {}
+    for lang, txt in train.items():
+        tri, _ = _ngram_hashes(" " + " ".join(txt.split()) + " ")
+        hashes, counts = np.unique(tri, return_counts=True)
+        raw[lang] = (hashes, counts.astype(np.float64) / counts.sum())
+    df: dict[int, int] = {}
+    for hashes, _w in raw.values():
+        for h in hashes.tolist():
+            df[h] = df.get(h, 0) + 1
+    n_langs = len(raw)
+    out = {}
+    for lang, (hashes, w) in raw.items():
+        idf = np.log(
+            n_langs
+            / np.asarray([df[h] for h in hashes.tolist()], dtype=np.float64)
+        )
+        out[lang] = (hashes, w * idf)
+    return out
+
+
+_PROFILES = _build_profiles(_LANGID_TRAIN)
 
 
 def _langid(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Char-trigram profile scores, vectorized: one pandas .str.count pass
-    per profile gram (C-level substring counting across the whole batch) —
-    no per-doc Python loop."""
-    import re
-
+    """Char-trigram profile scores, vectorized: ONE trigram-hash pass over
+    the batch's concatenated text, then one sorted-array lookup per language
+    (searchsorted against its profile) and a bincount per doc segment — no
+    per-doc or per-gram Python loop."""
     langs_sorted = sorted(_PROFILES)
     for pdf in batches:
         if len(pdf) == 0:
             continue
-        low = pdf["text"].str.lower()
-        scores = np.stack(
-            [
-                sum(
-                    low.str.count(re.escape(g)).to_numpy(np.int64)
-                    for g in _PROFILES[lang]
-                )
-                for lang in langs_sorted
-            ],
-            axis=1,
-        )  # (n_docs, n_langs)
-        total = np.maximum(scores.sum(axis=1), 1)
-        # max() over insertion order of the sorted dict == argmax with
-        # first-wins (lowest lang name) tie-break — replicated by argmax
+        low = pdf["text"].fillna("").str.lower()
+        n = len(low)
+        # one concatenated pass; \x00 separators make doc-spanning trigrams
+        # unmatchable (profiles never contain \x00), so they score 0
+        joined = "\x00".join(low)
+        tri, tri_pos = _ngram_hashes(joined)
+        lens = low.str.len().to_numpy(np.int64)
+        doc_starts = np.concatenate(([0], np.cumsum(lens + 1)))[:-1]
+        doc_of_tri = np.searchsorted(doc_starts, tri_pos, side="right") - 1
+        scores = np.zeros((n, len(langs_sorted)), dtype=np.float64)
+        for li, lang in enumerate(langs_sorted):
+            h, w = _PROFILES[lang]
+            idx = np.searchsorted(h, tri).clip(0, len(h) - 1)
+            hitw = np.where(h[idx] == tri, w[idx], 0.0)
+            scores[:, li] = np.bincount(doc_of_tri, weights=hitw, minlength=n)
+        total = np.maximum(scores.sum(axis=1), 1e-12)
+        # argmax with first-wins (lowest lang name) tie-break
         best = scores.argmax(axis=1)
-        conf = np.round(scores[np.arange(len(low)), best] / total, 4)
+        conf = np.round(scores[np.arange(n), best] / total, 4)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].to_numpy(np.int64),
