@@ -137,6 +137,10 @@ def main() -> None:
         RELQ[name](spark, sf_dir).collect()
         timings[name] = round(time.time() - t1, 3)
 
+    from engine.query import wand_shard_count
+
+    wand_shards = {q: wand_shard_count(handle, q) for q in QUERIES}
+
     total = build_sec + sum(lat_wand) + sum(lat_brute) + sum(lat_local)
     out = {
         "metric": "index-build + BM25 top-10 headline workload",
@@ -155,6 +159,7 @@ def main() -> None:
         "query_p50_ms_auto": round(1000 * statistics.median(lat_local), 2),
         "index_content_hash": content_hash,
         "postings_bytes": index_bytes,
+        "wand_shards": wand_shards,
     }
     print(json.dumps(out))
 

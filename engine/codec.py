@@ -6,11 +6,14 @@ All codecs are numpy-vectorized (no per-element Python in the hot loop) and
 pure — unit/property-tested for encode∘decode == identity on adversarial gap
 distributions (SURVEY.md §5.2).
 
-Two codecs:
+Three codecs, chosen per block by predicted size:
 - ``varint``: LEB128 unsigned, byte-aligned — robust default.
-- ``for``: frame-of-reference fixed-width bit-packing (PForDelta's
-  no-exceptions core): each block stores a bit width w and packs values into
-  ceil(n*w/8) bytes. Chosen per block when it beats varint.
+- ``for``: frame-of-reference fixed-width bit-packing (no exceptions):
+  each block stores a bit width w and packs values into ceil(n*w/8) bytes.
+- ``pfor``: patched frame-of-reference (PForDelta, Zukowski et al. 2006):
+  low bits packed at the 90th-percentile width, outliers patched via a
+  varint exception tail — wins on outlier-heavy gap distributions where
+  one large gap would otherwise force FOR's width up or varint's bytes.
 """
 
 from __future__ import annotations
@@ -100,22 +103,98 @@ def for_decode(buf: bytes, n: int) -> np.ndarray:
 
 CODEC_VARINT = 0
 CODEC_FOR = 1
+CODEC_PFOR = 2
+
+
+def pfor_encode(values: np.ndarray, w: int) -> bytes:
+    """Patched frame-of-reference (PForDelta, Zukowski et al. 2006): pack
+    every value's low ``w`` bits fixed-width, then patch the outliers.
+    Layout: [w:1B][packed low bits: ceil(n·w/8)B][varint tail: n_exc,
+    exception positions (delta, first absolute), exception high bits
+    (v >> w, nonzero by construction)]. The fixed-size body comes first so
+    the self-delimiting varint tail needs no length prefix."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = v.size
+    assert 0 <= w <= 63
+    wu = np.uint64(w)
+    if w == 0:
+        low = np.zeros(n, dtype=np.uint64)
+        high = v
+        body = b""
+    else:
+        low = v & np.uint64((1 << w) - 1)
+        high = v >> wu
+        bits = ((low[:, None] >> np.arange(w, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.uint8)
+        body = np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+    pos = np.flatnonzero(high > 0)
+    posd = pos.astype(np.uint64).copy()
+    if len(pos):
+        posd[1:] = (pos[1:] - pos[:-1]).astype(np.uint64)
+    tail = varint_encode(
+        np.concatenate(
+            (np.asarray([len(pos)], dtype=np.uint64), posd, high[pos])
+        )
+    )
+    return bytes([w]) + body + tail
+
+
+def pfor_decode(buf: bytes, n: int) -> np.ndarray:
+    w = buf[0]
+    body_len = (n * w + 7) // 8
+    if w == 0:
+        low = np.zeros(n, dtype=np.uint64)
+    else:
+        bits = np.unpackbits(
+            np.frombuffer(buf[1 : 1 + body_len], dtype=np.uint8),
+            bitorder="little",
+        )[: n * w]
+        shifts = np.arange(w, dtype=np.uint64)
+        low = (bits.reshape(n, w).astype(np.uint64) << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+    tail = varint_decode(buf[1 + body_len :])
+    n_exc = int(tail[0])
+    if n_exc:
+        pos = np.cumsum(tail[1 : 1 + n_exc].astype(np.int64))
+        low[pos] |= tail[1 + n_exc : 1 + 2 * n_exc] << np.uint64(w)
+    return low
+
+
+def _pfor_width(values: np.ndarray) -> int:
+    """Candidate patch width: the 90th-percentile bit length (standard
+    PForDelta heuristic — ~10% exceptions max)."""
+    bl = np.zeros(values.size, dtype=np.int64)
+    nz = values > 0
+    if nz.any():
+        bl[nz] = (
+            np.floor(np.log2(values[nz].astype(np.float64))).astype(np.int64)
+            + 1
+        )
+        bl[nz] += (values[nz] >> bl[nz].astype(np.uint64)) > 0
+    return int(min(63, np.percentile(bl, 90, method="lower")))
 
 
 def encode_best(values: np.ndarray) -> tuple[int, bytes]:
-    """Pick the smaller of varint / FOR for this block (PForDelta-style
-    adaptive choice; exceptions list omitted — FOR only wins on uniform
-    blocks, which is exactly when it needs no exceptions)."""
+    """Pick the smallest of varint / FOR / patched-FOR for this block
+    (PForDelta-style adaptive choice per block)."""
     vi = varint_encode(values)
     fo = for_encode(values)
-    if len(fo) < len(vi):
-        return CODEC_FOR, fo
-    return CODEC_VARINT, vi
+    best, buf = CODEC_VARINT, vi
+    if len(fo) < len(buf):
+        best, buf = CODEC_FOR, fo
+    if values.size:
+        pf = pfor_encode(values, _pfor_width(values))
+        if len(pf) < len(buf):
+            best, buf = CODEC_PFOR, pf
+    return best, buf
 
 
 def decode(codec: int, buf: bytes, n: int) -> np.ndarray:
     if codec == CODEC_FOR:
         return for_decode(buf, n)
+    if codec == CODEC_PFOR:
+        return pfor_decode(buf, n)
     return varint_decode(buf)
 
 
@@ -167,8 +246,10 @@ def decode_concat(codecs, bufs, ns) -> np.ndarray:
             out[pos[i] : pos[i + 1]] = vals[o : o + ns[i]]
             o += ns[i]
     for i, c in enumerate(codecs):
-        if c == CODEC_FOR and ns[i]:
+        if ns[i] and c == CODEC_FOR:
             out[pos[i] : pos[i + 1]] = for_decode(bufs[i], ns[i])
+        elif ns[i] and c == CODEC_PFOR:
+            out[pos[i] : pos[i + 1]] = pfor_decode(bufs[i], ns[i])
     return out
 
 
@@ -227,21 +308,49 @@ def encode_blocks(values: np.ndarray, starts: np.ndarray) -> tuple[list[int], li
     sizes = varint_sizes(v)
     csum = np.concatenate(([0], np.cumsum(sizes)))
     vi_block = csum[ends] - csum[starts]  # varint bytes per block
-    # FOR bytes per block: 1 header + ceil(len * bitwidth(max) / 8)
-    blk_max = np.maximum.reduceat(v, starts)
-    width = np.zeros(len(starts), dtype=np.int64)
-    nz = blk_max > 0
-    width[nz] = np.floor(np.log2(blk_max[nz].astype(np.float64))).astype(np.int64) + 1
-    # float log2 can undershoot near powers of two — fix up exactly
-    width[nz] += (blk_max[nz] >> width[nz].astype(np.uint64)) > 0
     lens = ends - starts
+    # per-value bit lengths (exact, float-log2 with power-of-two fixup)
+    bl = np.zeros(n, dtype=np.int64)
+    nzv = v > 0
+    if nzv.any():
+        bl[nzv] = np.floor(np.log2(v[nzv].astype(np.float64))).astype(np.int64) + 1
+        bl[nzv] += (v[nzv] >> bl[nzv].astype(np.uint64)) > 0
+    # FOR bytes per block: 1 header + ceil(len * bitwidth(max) / 8)
+    width = np.maximum.reduceat(bl, starts)
     fo_block = 1 + (lens * width + 7) // 8
+    # PFor candidate width per block: 90th-percentile bit length (standard
+    # patched-FOR heuristic) via one lexsort over (block, bit length)
+    blk_of = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+    bl_sorted = bl[np.lexsort((bl, blk_of))]
+    w_blk = np.minimum(
+        bl_sorted[starts + ((lens - 1) * 9) // 10], 63
+    ).astype(np.int64)
+    wv = w_blk[blk_of].astype(np.uint64)
+    high = v >> wv
+    exc = high > 0
+    n_exc = np.add.reduceat(exc.astype(np.int64), starts)
+    high_bytes = np.add.reduceat(
+        np.where(exc, varint_sizes(high), 0), starts
+    )
+    # conservative position-bytes bound (deltas ≤ block length) and exact
+    # n_exc varint size: the estimate is an UPPER bound on the encoded
+    # size, so a block chosen for PFor is never larger than predicted
+    pos_bytes = n_exc * varint_sizes(lens.astype(np.uint64))
+    pf_block = (
+        1 + (lens * w_blk + 7) // 8
+        + varint_sizes(n_exc.astype(np.uint64))
+        + pos_bytes + high_bytes
+    )
     use_for = fo_block < vi_block
+    use_pfor = pf_block < np.minimum(fo_block, vi_block)
     full = varint_encode(v)
     codecs: list[int] = []
     bufs: list[bytes] = []
     for i in range(len(starts)):
-        if use_for[i]:
+        if use_pfor[i]:
+            codecs.append(CODEC_PFOR)
+            bufs.append(pfor_encode(v[starts[i]:ends[i]], int(w_blk[i])))
+        elif use_for[i]:
             codecs.append(CODEC_FOR)
             bufs.append(for_encode(v[starts[i]:ends[i]]))
         else:

@@ -573,6 +573,17 @@ def query_topk(
 LOCAL_MAX_POSTINGS = 500_000
 
 
+def wand_shard_count(handle: IndexHandle, query: str) -> int:
+    """How many doc-range shards the adaptive WAND path fans this query out
+    to (1 = single shuffle-free task). Exposed so the bench can report the
+    salted-shard fan-out per query per round (BENCH_r{N}.json)."""
+    terms = [t for t in parse_query(query)]
+    st = _local_term_stats(handle, terms)
+    total_df = sum(st[t]["df"] for t in terms if t in st)
+    n_ranges = handle.stats.get("n_doc_ranges", 32)
+    return max(1, min(n_ranges, -(-total_df // WAND_SHARD_TARGET)))
+
+
 def _local_term_stats(handle: IndexHandle, terms: list[str]) -> dict:
     import pyarrow.dataset as ds
 

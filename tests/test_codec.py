@@ -116,3 +116,76 @@ def test_batch_decode_matches_per_block():
     gaps = decode_concat(codecs, bufs, ns)
     got = delta_decode_blocks(gaps, ns)
     assert (got == np.concatenate(want)).all()
+
+
+class TestPFor:
+    """Patched-FOR codec (round-3 verdict item 7)."""
+
+    def test_roundtrip_outlier_distributions(self):
+        import numpy as np
+
+        from engine.codec import pfor_decode, pfor_encode
+
+        rng = np.random.RandomState(7)
+        cases = [
+            np.asarray([0], dtype=np.uint64),
+            np.zeros(128, dtype=np.uint64),
+            np.asarray([1, 1, 1, 2**40, 1, 1], dtype=np.uint64),
+            rng.randint(0, 16, 128).astype(np.uint64),
+            np.where(
+                rng.rand(128) < 0.05,
+                rng.randint(1 << 30, 1 << 45, 128),
+                rng.randint(0, 8, 128),
+            ).astype(np.uint64),
+            np.asarray([2**63 - 1 + 2**63], dtype=np.uint64),  # max uint64
+        ]
+        for v in cases:
+            for w in (0, 1, 4, 13, 63):
+                buf = pfor_encode(v, w)
+                got = pfor_decode(buf, len(v))
+                assert (got == v).all(), (w, v[:8])
+
+    def test_encode_best_picks_pfor_on_outliers(self):
+        import numpy as np
+
+        from engine.codec import (
+            CODEC_PFOR,
+            decode,
+            encode_best,
+            for_encode,
+            varint_encode,
+        )
+
+        # 124 tiny gaps + 4 huge outliers: FOR pays 45 bits/value, varint
+        # pays >=1 byte/value, patched-FOR pays ~4 bits + 4 patches
+        v = np.concatenate(
+            [
+                np.full(124, 7, dtype=np.uint64),
+                np.full(4, np.uint64(1) << np.uint64(44)),
+            ]
+        )
+        c, buf = encode_best(v)
+        assert c == CODEC_PFOR
+        assert len(buf) < min(len(varint_encode(v)), len(for_encode(v)))
+        assert (decode(c, buf, len(v)) == v).all()
+
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=2**63),
+            min_size=1,
+            max_size=300,
+        ),
+        st.integers(min_value=1, max_value=64),
+    )
+    @settings(deadline=None, max_examples=200)
+    def test_encode_blocks_roundtrip_any_codec_mix(self, vals, bs):
+        import numpy as np
+
+        from engine.codec import decode_concat, encode_blocks
+
+        v = np.asarray(vals, dtype=np.uint64)
+        starts = np.arange(0, len(v), bs, dtype=np.int64)
+        codecs, bufs = encode_blocks(v, starts)
+        ns = np.diff(np.append(starts, len(v)))
+        got = decode_concat(codecs, bufs, ns.tolist())
+        assert (got == v).all()
