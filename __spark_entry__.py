@@ -35,7 +35,8 @@ _PRIORITY = [
     "index_snapshot_pinned", "index_snapshot_diff", "es_bulk_lines",
     # LLM-training-data pipeline operators
     "dedup_exact", "dedup_jaccard_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "ann_cosine_topk", "ann_lsh_topk", "dedup_embedding_cosine",
+    "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "dedup_embedding_cosine",
     "text_token_count", "text_token_count_bpe", "text_quality",
     "text_quality_filter", "doc_fingerprint", "text_langid",
     "multimodal_meta",
@@ -50,7 +51,7 @@ _PRIORITY = [
     "udaf_grouped_agg", "win_lag_sessions", "win_ranks",
     "agg_grouping_sets", "pivot_status", "unpivot_stack",
     "set_intersect", "set_except_all", "set_union_distinct",
-    "fn_json", "fn_from_json", "fn_percentile",
+    "fn_json", "fn_from_json",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)  # driver runs exactly 50
 

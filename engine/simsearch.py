@@ -293,3 +293,212 @@ def dedup_embedding_cosine(spark, sf_dir):
         .filter(F.col("cosine") >= 0.99)
         .select("a", "b", F.round("cosine", 4).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path alongside LSH.
+#
+# Build: distributed k-means with map-side partial sums (each task emits one
+# (list_id, count, sum_vec) row per list — O(n_lists·dim) per task, never the
+# vectors themselves), driver-side centroid update; then the assignment table
+# is persisted partitioned by list_id. Query: rank centroids by query cosine,
+# scan only the top-nprobe list partitions (partition pruning), exact
+# re-rank. At 10^9 vectors a 4096-list index scans nprobe/4096 of the corpus
+# per query instead of all of it.
+# ---------------------------------------------------------------------------
+
+IVF_LISTS = 16
+IVF_ITERS = 4
+IVF_NPROBE = 3
+
+
+def _ivf_assign_partials(centroids: np.ndarray):
+    """mapInPandas body: assign each vector to its nearest centroid (cosine)
+    and emit per-list partial sums — the map-side combine of k-means."""
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        k, dim = centroids.shape
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, dim), dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            mn = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            assign = (mn @ cn.T).argmax(axis=1)
+            counts += np.bincount(assign, minlength=k)
+            np.add.at(sums, assign, mn)
+        nz = np.flatnonzero(counts)
+        yield pd.DataFrame(
+            {
+                "list_id": nz.astype(np.int32),
+                "cnt": counts[nz],
+                "vsum": [sums[i].tolist() for i in nz],
+            }
+        )
+
+    return fn
+
+
+_IVF_PARTIALS_SCHEMA = T.StructType(
+    [
+        T.StructField("list_id", T.IntegerType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("vsum", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+_IVF_ASSIGN_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("list_id", T.IntegerType()),
+    ]
+)
+
+
+def _ivf_init_centroids(e: DataFrame, n_lists: int) -> np.ndarray:
+    """Deterministic spread init: the n_lists vectors with the smallest
+    xxhash64(vec_id) — a uniform pseudo-random sample independent of
+    partitioning (no Date/RNG state)."""
+    rows = (
+        e.select("vec_id", "embedding")
+        .withColumn("h", F.xxhash64("vec_id"))
+        .orderBy("h")
+        .limit(n_lists)
+        .collect()
+    )
+    return np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+
+
+def train_ivf_centroids(
+    e: DataFrame, n_lists: int = IVF_LISTS, n_iters: int = IVF_ITERS
+) -> np.ndarray:
+    cents = _ivf_init_centroids(e, n_lists)
+    for _ in range(n_iters):
+        parts = (
+            e.select("embedding")
+            .mapInPandas(_ivf_assign_partials(cents), _IVF_PARTIALS_SCHEMA)
+            .groupBy("list_id")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.array(
+                    *[
+                        F.sum(F.col("vsum")[i]).alias(f"s{i}")
+                        for i in range(cents.shape[1])
+                    ]
+                ).alias("vsum"),
+            )
+            .collect()
+        )
+        new = cents.copy()  # empty lists keep their old centroid
+        for r in parts:
+            new[r["list_id"]] = np.asarray(r["vsum"]) / max(int(r["cnt"]), 1)
+        cents = new
+    return cents
+
+
+def build_ivf_index(
+    spark: SparkSession, e: DataFrame, path: str,
+    n_lists: int = IVF_LISTS, n_iters: int = IVF_ITERS,
+) -> tuple[str, np.ndarray]:
+    """Persist (vec_id, list_id) partitioned by list_id + the centroid table.
+    A query reads only its probed list partitions."""
+    cents = train_ivf_centroids(e, n_lists, n_iters)
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            mn = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "list_id": (mn @ cn.T).argmax(axis=1).astype(np.int32),
+                }
+            )
+
+    (
+        e.select("vec_id", "embedding")
+        .mapInPandas(assign, _IVF_ASSIGN_SCHEMA)
+        .repartition("list_id")
+        .write.partitionBy("list_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    cdf = pd.DataFrame(
+        {"list_id": range(len(cents)), "centroid": [c.tolist() for c in cents]}
+    )
+    e.sparkSession.createDataFrame(cdf).write.mode("overwrite").parquet(
+        path + "_centroids"
+    )
+    return path, cents
+
+
+def ivf_topk(
+    spark: SparkSession,
+    e: DataFrame,
+    index_path: str,
+    qv: np.ndarray,
+    k: int = 10,
+    exclude_id: int | None = None,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF query: rank centroids by query cosine, semi-join the vectors of
+    the top-nprobe lists (list_id partition pruning on the assignment
+    table), exact cosine re-rank of candidates only."""
+    crows = spark.read.parquet(index_path + "_centroids").collect()
+    cents = np.zeros((len(crows), len(qv)), dtype=np.float64)
+    for r in crows:
+        cents[int(r["list_id"])] = np.asarray(r["centroid"])
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    qn = np.asarray(qv, dtype=np.float64)
+    qn = qn / max(float(np.linalg.norm(qn)), 1e-12)
+    probe = np.argsort(-(cn @ qn), kind="stable")[:nprobe].tolist()
+    cand_ids = (
+        spark.read.parquet(index_path)
+        .filter(F.col("list_id").isin([int(p) for p in probe]))
+        .select("vec_id")
+    )
+    cands = e.join(cand_ids, "vec_id", "left_semi")
+    if exclude_id is not None:
+        cands = cands.filter(F.col("vec_id") != exclude_id)
+    return (
+        cands.select(
+            "vec_id", F.round(_cosine_col(qv.tolist()), 4).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+_IVF_INDEX_CACHE: dict[str, str] = {}
+
+
+@register("ann_ivf_topk")  # approximate — rows-only; recall tested in pytest
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN driver entry: coarse-quantizer index built once per corpus
+    (distributed k-means), then a probe-pruned scan + exact re-rank."""
+    import tempfile
+
+    e = t(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVF_INDEX_CACHE:
+        path, _ = build_ivf_index(
+            spark, e, tempfile.mkdtemp(prefix="drv_ivf_")
+        )
+        _IVF_INDEX_CACHE[sf_dir] = path
+    qv = np.asarray(
+        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .collect()[0][0],
+        dtype=np.float64,
+    )
+    return ivf_topk(
+        spark, e, _IVF_INDEX_CACHE[sf_dir], qv, 10, exclude_id=QUERY_VEC_ID
+    )

@@ -172,3 +172,40 @@ def test_langid_accuracy_floor(spark):
     df2 = spark.createDataFrame([(0, None), (1, "ab")], "doc_id long, text string")
     rows = df2.mapInPandas(_langid, LANGID_SCHEMA).collect()
     assert len(rows) == 2 and all(r["confidence"] <= 1.0 for r in rows)
+
+
+def test_ann_ivf_recall_and_pruned_scan(spark, tmp_path):
+    """IVF coarse-quantizer ANN (round-3 addition): on a clustered corpus
+    the planted neighborhood concentrates in few lists, so a top-nprobe
+    probe recovers the brute-force top-k while scanning only the probed
+    list partitions."""
+    import numpy as np
+
+    from engine.simsearch import IVF_LISTS, build_ivf_index, cosine_topk_df, ivf_topk
+
+    rng = np.random.default_rng(5)
+    qv = rng.standard_normal(64)
+    rows = [(i, (qv + 0.35 * rng.standard_normal(64)).tolist()) for i in range(30)]
+    rows += [(i, rng.standard_normal(64).tolist()) for i in range(30, 500)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    path, cents = build_ivf_index(spark, e, str(tmp_path / "ivf"))
+    assert cents.shape == (IVF_LISTS, 64)
+    # every vector assigned exactly once, partitioned by list
+    assigned = spark.read.parquet(path)
+    assert assigned.count() == 500
+    assert assigned.select("vec_id").distinct().count() == 500
+
+    brute = [r["vec_id"] for r in cosine_topk_df(e, qv.tolist(), 10).collect()]
+    ivf = [r["vec_id"] for r in ivf_topk(spark, e, path, qv, 10).collect()]
+    overlap = len(set(brute) & set(ivf))
+    assert overlap >= 8, f"IVF recall too low: {overlap}/10 ({brute} vs {ivf})"
+
+    # candidate set is probe-bounded: the probed lists hold well under the
+    # full corpus (the point of the inverted file)
+    import pyspark.sql.functions as F2
+
+    sizes = {r["list_id"]: r["count"]
+             for r in assigned.groupBy("list_id").count().collect()}
+    top3 = sorted(sizes.values(), reverse=True)[:3]
+    assert sum(sizes.values()) == 500 and sum(top3) < 500
