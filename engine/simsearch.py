@@ -263,19 +263,12 @@ def dedup_embedding_cosine(spark, sf_dir):
             "vec_id", F.col("vec_id") + 10000
         )
     )
+    from engine.textops import skew_safe_self_pairs
+
     sigs = ann_signatures(dup)
-    l = sigs.alias("l")
-    r = sigs.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.table") == F.col("r.table"))
-            & (F.col("l.sig") == F.col("r.sig"))
-            & (F.col("l.vec_id") < F.col("r.vec_id")),
-        )
-        .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))
-        .distinct()
-    )
+    # a dense signature bucket (duplicate cluster / clustered corpus) is
+    # triangle-split so no reducer key sees d² candidate work
+    cand = skew_safe_self_pairs(sigs, ["table", "sig"], "vec_id").distinct()
     ea = dup.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
     eb = dup.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
     da = F.transform("va", lambda x: x.cast("double"))

@@ -231,45 +231,61 @@ def _doc_shingle_hashes(
     return docs[keep], sh[keep]
 
 
-# a shingle shared by more docs than this is "hot": its pair generation is
+# a join key shared by more ids than this is "hot": its pair generation is
 # triangle-decomposed over HOT_SHINGLE_BUCKETS² join keys instead of one
 HOT_SHINGLE_DF = 64
 HOT_SHINGLE_BUCKETS = 8
 
 
+def skew_safe_self_pairs(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str = "doc_id",
+    hot_count: int = HOT_SHINGLE_DF,
+    m: int = HOT_SHINGLE_BUCKETS,
+) -> DataFrame:
+    """All ordered id pairs (a < b) sharing a key — the candidate-generation
+    self-join behind every LSH/blocking scheme here — made skew-safe: a key
+    shared by d ids puts d² work on ONE reducer in a naive self-join (a
+    stopword-grade shingle, a dense LSH bucket, a giant duplicate cluster).
+    Keys above hot_count (a tiny broadcastable set) are triangle-decomposed:
+    each side replicates across m hash buckets keyed by (key, p, q), pair
+    (a, b) with id-hash buckets (p_a, q_b) matches exactly once at
+    (key, p_a, q_b), and per-key cardinality drops to (d/m)² per side.
+    Output: one (a, b) row per shared key occurrence (NOT distinct — caller
+    counts or dedups), identical to the naive join's output multiset."""
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("_kdf"))
+    hot = counts.filter(F.col("_kdf") > hot_count).select(*key_cols)
+    cold_side = df.join(F.broadcast(hot), key_cols, "left_anti")
+    hot_side = df.join(F.broadcast(hot), key_cols, "left_semi")
+    bkt = (F.abs(F.xxhash64(F.col(id_col))) % m).cast("int")
+    seq = F.explode(F.sequence(F.lit(0), F.lit(m - 1)))
+    hx = hot_side.withColumn("p", bkt).withColumn("q", seq)
+    hy = hot_side.withColumn("q", bkt).withColumn("p", seq)
+    key_eq = [F.col(f"x.{c}") == F.col(f"y.{c}") for c in key_cols]
+
+    def pairs(left, right, extra):
+        cond = key_eq[0]
+        for c in key_eq[1:] + extra:
+            cond = cond & c
+        cond = cond & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        return left.alias("x").join(right.alias("y"), cond).select(
+            F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b")
+        )
+
+    hot_matches = pairs(
+        hx, hy, [F.col("x.p") == F.col("y.p"), F.col("x.q") == F.col("y.q")]
+    )
+    cold_matches = pairs(cold_side, cold_side, [])
+    return cold_matches.unionByName(hot_matches)
+
+
 def _pair_intersections(sh: DataFrame) -> DataFrame:
     """Exact per-pair shared-shingle counts (a < b) from a (doc_id, shingle)
-    table, skew-safe: a stopword-grade shingle shared by d docs puts d² work
-    on ONE reducer key in a naive self-join. Hot shingles (doc count >
-    HOT_SHINGLE_DF, a tiny broadcastable set) are triangle-decomposed: each
-    side is replicated across m buckets keyed by (shingle, p, q), so pair
-    (a, b) with doc-hash buckets (p_a, q_b) matches exactly once at key
-    (shingle, p_a, q_b) and the per-key cardinality is bounded by (d/m)²
-    instead of d². Output counts are identical to the naive join — the
-    exact-Jaccard oracle is unchanged."""
-    m = HOT_SHINGLE_BUCKETS
-    counts = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
-    hot = counts.filter(F.col("sdf") > HOT_SHINGLE_DF).select("shingle")
-    sh_cold = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sh_hot = sh.join(F.broadcast(hot), "shingle", "left_semi")
-    bkt = (F.abs(F.xxhash64(F.col("doc_id"))) % m).cast("int")
-    seq = F.explode(F.sequence(F.lit(0), F.lit(m - 1)))
-    hx = sh_hot.withColumn("p", bkt).withColumn("q", seq)
-    hy = sh_hot.withColumn("q", bkt).withColumn("p", seq)
-    hot_matches = hx.alias("x").join(
-        hy.alias("y"),
-        (F.col("x.shingle") == F.col("y.shingle"))
-        & (F.col("x.p") == F.col("y.p"))
-        & (F.col("x.q") == F.col("y.q"))
-        & (F.col("x.doc_id") < F.col("y.doc_id")),
-    ).select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-    cold_matches = sh_cold.alias("x").join(
-        sh_cold.alias("y"),
-        (F.col("x.shingle") == F.col("y.shingle"))
-        & (F.col("x.doc_id") < F.col("y.doc_id")),
-    ).select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+    table via the skew-safe self-join. Counts are identical to the naive
+    join — the exact-Jaccard oracle is unchanged."""
     return (
-        cold_matches.unionByName(hot_matches)
+        skew_safe_self_pairs(sh, ["shingle"], "doc_id")
         .groupBy("a", "b")
         .agg(F.count("*").alias("i"))
     )
@@ -323,18 +339,10 @@ def dedup_minhash_lsh(spark, sf_dir):
     not corpus-sized. A final pair-level semi keeps exactly the LSH pairs."""
     docs = docs_with_neardups(spark, sf_dir)
     bands = docs.mapInPandas(_minhash_bands, MINHASH_SCHEMA)
-    l = bands.alias("l")
-    r = bands.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
-        .distinct()
-    )
+    # dense LSH buckets (giant duplicate clusters) are triangle-split too
+    cand = skew_safe_self_pairs(
+        bands, ["band", "band_hash"], "doc_id"
+    ).distinct()
     cand_ids = (
         cand.select(F.col("a").alias("doc_id"))
         .union(cand.select(F.col("b").alias("doc_id")))
@@ -438,22 +446,13 @@ def dedup_simhash(spark, sf_dir):
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.key")
-    l = bands.alias("l")
-    r = bands.alias("r")
     cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("a"),
-            F.col("r.doc_id").alias("b"),
-            F.col("l.simhash").alias("ha"),
-            F.col("r.simhash").alias("hb"),
-        )
+        skew_safe_self_pairs(bands, ["band", "key"], "doc_id")
         .distinct()
+        .join(sh.select(F.col("doc_id").alias("a"),
+                        F.col("simhash").alias("ha")), "a")
+        .join(sh.select(F.col("doc_id").alias("b"),
+                        F.col("simhash").alias("hb")), "b")
     )
     dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return cand.filter(dist <= 8).select(
