@@ -140,6 +140,17 @@ def main() -> None:
     from engine.query import wand_shard_count
 
     wand_shards = {q: wand_shard_count(handle, q) for q in QUERIES}
+    # salt-path visibility (B7): how many terms got split, into how many
+    # doc-range segments — nonzero whenever any term crosses the hot df
+    # threshold, at any corpus scale
+    salt_stats = (
+        posts.filter(F.col("salt") > 0)
+        .agg(
+            F.countDistinct("term").alias("ht"),
+            F.countDistinct("term", "salt").alias("seg"),
+        )
+        .collect()[0]
+    )
 
     total = build_sec + sum(lat_wand) + sum(lat_brute) + sum(lat_local)
     out = {
@@ -160,6 +171,8 @@ def main() -> None:
         "index_content_hash": content_hash,
         "postings_bytes": index_bytes,
         "wand_shards": wand_shards,
+        "n_hot_terms": int(salt_stats["ht"] or 0),
+        "n_salt_segments": int(salt_stats["seg"] or 0),
     }
     print(json.dumps(out))
 
