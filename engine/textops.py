@@ -256,8 +256,11 @@ def skew_safe_self_pairs(
     counts or dedups), identical to the naive join's output multiset."""
     counts = df.groupBy(*key_cols).agg(F.count("*").alias("_kdf"))
     hot = counts.filter(F.col("_kdf") > hot_count).select(*key_cols)
-    cold_side = df.join(F.broadcast(hot), key_cols, "left_anti")
-    hot_side = df.join(F.broadcast(hot), key_cols, "left_semi")
+    # no broadcast hint: the hot set is usually tiny (AQE broadcasts it at
+    # runtime), but it is bounded only by |rows|/hot_count — on a
+    # pathological corpus Spark must be free to shuffle the semi-join
+    cold_side = df.join(hot, key_cols, "left_anti")
+    hot_side = df.join(hot, key_cols, "left_semi")
     bkt = (F.abs(F.xxhash64(F.col(id_col))) % m).cast("int")
     seq = F.explode(F.sequence(F.lit(0), F.lit(m - 1)))
     hx = hot_side.withColumn("p", bkt).withColumn("q", seq)
