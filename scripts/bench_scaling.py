@@ -190,6 +190,22 @@ official capability number per the additive-noise rationale above; every
 per-rep value and timestamp is published in `BENCH/scaling_runs.json` so
 the estimator can be recomputed any other way.
 
+### Round-3 campaign conditions (measured)
+
+The round-3 campaign ran {nreps} interleaved pairs continuously over
+~4 hours (22:15–02:00 UTC) and the hypervisor host never entered a quiet
+window: the best local[{n}] rep reached only ~73% of its round-2
+quiet-window throughput (12.4k vs 16.9k docs/s) and the best
+local[{n4}] rep ~49% (33.7k vs 68.9k), with same-level swings of 2-4×
+between consecutive reps (see the per-rep series above — e.g. 8.3k→12.4k
+at N, 12.0k→33.7k at 4N). Under these conditions the ratio estimator is
+dominated by which level happens to catch the shallower contention, not
+by the dataflow. The round-2 controlled quiet-window curve on this same
+dataflow (1→8 cores: 0.92-1.02 per-core efficiency; the official
+{n}→{n4} pair measured **1.02**) remains the cleanest evidence that the
+plan itself scales; this round's best-of number above is what this host
+allowed during the campaign.
+
 ¹ The {n4}→{ref_cpus}-core plateau is EXPECTED on this single box and is
 not a dataflow serial stage: tokenize + shuffle saturate one machine's
 memory bandwidth at ≈{n4} concurrent workers (the round-2 quiet-window
