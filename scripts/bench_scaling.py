@@ -193,7 +193,7 @@ the estimator can be recomputed any other way.
 ### Round-3 campaign conditions (measured)
 
 The round-3 campaign ran {nreps} interleaved pairs continuously over
-~4 hours (22:15–02:00 UTC) and the hypervisor host never entered a quiet
+~4.5 hours (22:15–02:46 UTC) and the hypervisor host never entered a quiet
 window: the best local[{n}] rep reached only ~73% of its round-2
 quiet-window throughput (12.4k vs 16.9k docs/s) and the best
 local[{n4}] rep ~49% (33.7k vs 68.9k), with same-level swings of 2-4×
