@@ -43,15 +43,17 @@ _PRIORITY = [
     # streaming surface
     "stream_tumbling_window", "stream_sliding_window", "stream_session_window",
     "stream_dedup", "stream_static_join",
-    # relational slice — rotated each round so every registry entry gets a
-    # fresh driver row within two rounds (round 2 ran scans/joins/aggs/
-    # windows; round 3 rotates in the set ops, scalar-function families,
-    # UDF/UDAF/UDTF, grouping sets, pivot/unpivot, percentiles, global sort)
-    "sort_topk_global", "udf_pandas_scalar", "udtf_token_expand",
-    "udaf_grouped_agg", "win_lag_sessions", "win_ranks",
-    "agg_grouping_sets", "pivot_status", "unpivot_stack",
-    "set_intersect", "set_except_all", "set_union_distinct",
-    "fn_json", "fn_from_json",
+    # relational slice — rotated each round, stalest-first, so every
+    # registry entry gets a fresh driver row within a bounded number of
+    # rounds (r2 ran scans/joins/aggs/windows; r3 ran set ops/UDx/pivot/
+    # json; r4 rotates in the 14 stalest entries — all last green in r1:
+    # the outer/semi/theta joins, distinct aggs, window frames, explode,
+    # and four scalar-function families). Deferred to r5: fn_array_distinct,
+    # fn_map, fn_math, fn_percentile_approx (r1) + the r2 slice.
+    "join_full_outer", "join_right_outer", "join_semi", "join_theta",
+    "agg_approx_distinct", "agg_count_distinct", "agg_flags_conditional",
+    "win_lead_delta", "win_running_frame", "explode_flatten",
+    "fn_array", "fn_datetime", "fn_percentile", "fn_string",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)  # driver runs exactly 50
 

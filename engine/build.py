@@ -177,72 +177,33 @@ def _fused_spimi(cfg: IndexConfig, dedup: bool):
         fps_all: dict[int, list[np.ndarray]] = {}
         rank_ctr: dict[int, int] = {}
         last_url: str | None = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if dedup:
-                urls = pdf["url"]
-                keep = urls.ne(urls.shift(1))
-                keep.iloc[0] = urls.iloc[0] != last_url
-                last_url = urls.iloc[-1]
-                if not keep.all():
-                    pdf = pdf[keep.to_numpy()]
-                    if len(pdf) == 0:
-                        continue
-            pids = pdf["pid"].to_numpy(dtype=np.int64)
-            # per-pid rank with cross-batch carry
-            ranks = pd.Series(pids).groupby(pids).cumcount().to_numpy(np.int64)
-            for pid in np.unique(pids):
-                pid = int(pid)
-                sel = pids == pid
-                ranks[sel] += rank_ctr.get(pid, 0)
-                rank_ctr[pid] = int(ranks[sel][-1]) + 1
-            doc_ids = ranks * P + pids
-            text = extract_series(pdf["url"], pdf.get("html"), pdf["text"])
-            # Arrow-kernel tokenize + dictionary-encode: the token stream
-            # never materializes as Python objects (bandwidth, not CPU, is
-            # the binding constraint at high core counts)
-            bcodes, buniq, dls = factorized_tokens(text.to_numpy(dtype=object))
-            if dls.sum():
-                remap = np.empty(len(buniq), dtype=np.int64)
-                for j, tm in enumerate(buniq):
-                    code = vocab.get(tm)
-                    if code is None:
-                        code = len(vocab_list)
-                        vocab[tm] = code
-                        vocab_list.append(tm)
-                    remap[j] = code
-                acc_codes.append(remap[bcodes].astype(np.int32))
-                acc_docs.append(np.repeat(doc_ids, dls))
-                acc_pids.append(np.repeat(pids.astype(np.int32), dls))
-                acc_dls.append(np.repeat(dls.astype(np.int32), dls))
-            url_arr = pdf["url"].to_numpy(dtype=object)
-            lang_arr = (
-                pdf["lang"].to_numpy(dtype=object)
-                if "lang" in pdf.columns
-                else np.full(len(pdf), None, dtype=object)
-            )
-            # vectorized 64-bit content fingerprint of the extracted text
-            # (deterministic: fixed default hash key) — docmap lineage column
-            fp_arr = (
-                pd.util.hash_pandas_object(text, index=False)
-                .to_numpy(np.uint64)
-                .view(np.int64)
-            )
-            for pid in np.unique(pids):
-                pid = int(pid)
-                sel_doc = pids == pid
-                doc_ids_all.setdefault(pid, []).append(doc_ids[sel_doc])
-                dls_all.setdefault(pid, []).append(dls[sel_doc])
-                urls_all.setdefault(pid, []).append(url_arr[sel_doc])
-                langs_all.setdefault(pid, []).append(lang_arr[sel_doc])
-                fps_all.setdefault(pid, []).append(fp_arr[sel_doc])
-        out_rows: dict[str, list] = {
-            "pid": [], "term": [], "n": [], "tf_sum": [],
-            "ids_enc": [], "tfs_enc": [], "dls_enc": [],
-            "doc_ids": [], "dls": [], "urls": [], "langs": [], "fps": [],
-        }
-        if acc_codes:
+        n_cells = 0  # accumulated posting cells ≈ 20 B each across streams
+        budget_cells = (
+            max(1, int(cfg.spimi_flush_mb * (1 << 20)) // 20)
+            if cfg.spimi_flush_mb
+            else None
+        )
+        _ROW_COLS = (
+            "pid", "term", "n", "tf_sum", "ids_enc", "tfs_enc", "dls_enc",
+            "doc_ids", "dls", "urls", "langs", "fps",
+        )
+
+        def _drain_postings(out_rows: dict) -> None:
+            """Emit the accumulated posting partials into out_rows and reset
+            the posting accumulators (docmap/rank/dedup state is untouched).
+            Called at end-of-partition and mid-stream whenever the configured
+            spimi_flush_mb budget is exceeded (classic SPIMI spill-to-run,
+            bounding task memory independent of partition size). Flushed and
+            unflushed builds are byte-identical: doc ids keep ascending
+            across flushes of a pid (rank_ctr carries), every flushed row is
+            a self-contained delta stream with an absolute first value, and
+            the merge stage lexsorts each (term, salt) group's postings
+            before block-cutting, so extra partial rows per (term, pid)
+            merge exactly like partials from distinct pids."""
+            nonlocal vocab, vocab_list, acc_codes, acc_docs, acc_dls
+            nonlocal acc_pids, n_cells
+            if not acc_codes:
+                return
             codes = np.concatenate(acc_codes)
             docs_f = np.concatenate(acc_docs)
             dls_f = np.concatenate(acc_dls)
@@ -295,6 +256,79 @@ def _fused_spimi(cfg: IndexConfig, dedup: bool):
             nrows_t = len(rstarts)
             for col in ("doc_ids", "dls", "urls", "langs", "fps"):
                 out_rows[col].extend([None] * nrows_t)
+            vocab = {}
+            vocab_list = []
+            acc_codes, acc_docs, acc_dls, acc_pids = [], [], [], []
+            n_cells = 0
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if dedup:
+                urls = pdf["url"]
+                keep = urls.ne(urls.shift(1))
+                keep.iloc[0] = urls.iloc[0] != last_url
+                last_url = urls.iloc[-1]
+                if not keep.all():
+                    pdf = pdf[keep.to_numpy()]
+                    if len(pdf) == 0:
+                        continue
+            pids = pdf["pid"].to_numpy(dtype=np.int64)
+            # per-pid rank with cross-batch carry
+            ranks = pd.Series(pids).groupby(pids).cumcount().to_numpy(np.int64)
+            for pid in np.unique(pids):
+                pid = int(pid)
+                sel = pids == pid
+                ranks[sel] += rank_ctr.get(pid, 0)
+                rank_ctr[pid] = int(ranks[sel][-1]) + 1
+            doc_ids = ranks * P + pids
+            text = extract_series(pdf["url"], pdf.get("html"), pdf["text"])
+            # Arrow-kernel tokenize + dictionary-encode: the token stream
+            # never materializes as Python objects (bandwidth, not CPU, is
+            # the binding constraint at high core counts)
+            bcodes, buniq, dls = factorized_tokens(text.to_numpy(dtype=object))
+            if dls.sum():
+                remap = np.empty(len(buniq), dtype=np.int64)
+                for j, tm in enumerate(buniq):
+                    code = vocab.get(tm)
+                    if code is None:
+                        code = len(vocab_list)
+                        vocab[tm] = code
+                        vocab_list.append(tm)
+                    remap[j] = code
+                acc_codes.append(remap[bcodes].astype(np.int32))
+                acc_docs.append(np.repeat(doc_ids, dls))
+                acc_pids.append(np.repeat(pids.astype(np.int32), dls))
+                acc_dls.append(np.repeat(dls.astype(np.int32), dls))
+                n_cells += int(dls.sum())
+            url_arr = pdf["url"].to_numpy(dtype=object)
+            lang_arr = (
+                pdf["lang"].to_numpy(dtype=object)
+                if "lang" in pdf.columns
+                else np.full(len(pdf), None, dtype=object)
+            )
+            # vectorized 64-bit content fingerprint of the extracted text
+            # (deterministic: fixed default hash key) — docmap lineage column
+            fp_arr = (
+                pd.util.hash_pandas_object(text, index=False)
+                .to_numpy(np.uint64)
+                .view(np.int64)
+            )
+            for pid in np.unique(pids):
+                pid = int(pid)
+                sel_doc = pids == pid
+                doc_ids_all.setdefault(pid, []).append(doc_ids[sel_doc])
+                dls_all.setdefault(pid, []).append(dls[sel_doc])
+                urls_all.setdefault(pid, []).append(url_arr[sel_doc])
+                langs_all.setdefault(pid, []).append(lang_arr[sel_doc])
+                fps_all.setdefault(pid, []).append(fp_arr[sel_doc])
+            if budget_cells is not None and n_cells >= budget_cells:
+                flushed: dict[str, list] = {c: [] for c in _ROW_COLS}
+                _drain_postings(flushed)
+                if flushed["pid"]:
+                    yield pd.DataFrame(flushed)
+        out_rows: dict[str, list] = {c: [] for c in _ROW_COLS}
+        _drain_postings(out_rows)
         for pid, ids in doc_ids_all.items():
             out_rows["pid"].append(pid)
             out_rows["term"].append(DOC_PSEUDO_TERM)
@@ -762,6 +796,13 @@ def build_index(
         return stats
 
     version_dir, stats = atomic_publish(index_dir, writer)
+    if cfg.keep_snapshots is not None:
+        # Iceberg-style retention from the build path (A15): prune committed
+        # snapshots beyond the configured tail; orphan dirs are age-gated
+        # inside expire_snapshots so a concurrent publish is never destroyed.
+        from engine.publish import expire_snapshots
+
+        expire_snapshots(index_dir, keep_last=cfg.keep_snapshots)
     partials.unpersist()
     docs.unpersist()
     terms.unpersist()

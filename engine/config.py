@@ -43,6 +43,22 @@ class IndexConfig:
     # Arrow batch size for mapInPandas stages.
     arrow_batch_rows: int = 10_000
 
+    # SPIMI in-memory posting budget per task (MB of accumulated int32
+    # posting cells). When a task's accumulators exceed this, it flushes the
+    # current partial rows and resets — the merge stage already unions
+    # multi-row partials per (term, pid), so flushed and unflushed builds are
+    # byte-identical. 0 disables spilling (sandbox default; set to a
+    # fraction of executor memory at cluster scale). Float so tests can use
+    # sub-MB budgets; ~20 bytes per token occurrence across the four
+    # accumulated streams (int32 code + int64 doc + int32 dl + int32 pid).
+    spimi_flush_mb: float = 0
+
+    # Auto-expire old index snapshots after each publish: keep the newest
+    # `keep_snapshots` committed versions. None (default) keeps ALL versions
+    # — time-travel reads (`open_index(version=...)`) stay valid forever,
+    # which the snapshot oracle rows rely on. At production scale set e.g. 2.
+    keep_snapshots: int | None = None
+
     extra: dict = field(default_factory=dict)
 
     @property

@@ -99,25 +99,57 @@ def list_snapshots(root: str) -> list[dict]:
     return chain
 
 
-def expire_snapshots(root: str, keep_last: int = 1) -> list[str]:
+def expire_snapshots(
+    root: str, keep_last: int = 1, orphan_grace_sec: float = 3 * 86400.0
+) -> list[str]:
     """Iceberg `expireSnapshots` analog: the snapshot log otherwise grows
     unboundedly and every historical `v_*` directory stays on disk. Keeps the
     newest ``keep_last`` committed snapshots (always including the current
-    manifest), deletes the version directories of everything older — plus
-    orphaned never-committed dirs — and rewrites the log to the kept tail so
+    manifest), deletes the version directories of snapshots that are provably
+    superseded, and rewrites the log to the kept tail so
     `read_manifest(version=...)` can no longer pin an expired snapshot.
     Returns the expired version names. The manifest itself is untouched:
-    current readers are never disturbed."""
+    current readers are never disturbed.
+
+    Two deletion classes, mirroring Iceberg's split between expireSnapshots
+    and orphan-file removal (default 3-day olderThan):
+
+    - **expired chain entries** — versions on the committed parent chain
+      older than the kept tail. These are known-superseded commits; deleting
+      them is always safe.
+    - **orphan dirs** — `v_*` directories NOT on the committed chain (a
+      crashed writer's leftovers... or a CONCURRENT writer that has created
+      its `v_<n>` dir but not yet swapped the manifest — the two are
+      indistinguishable by name alone). These are removed only when their
+      mtime is older than ``orphan_grace_sec``, so an in-flight publish is
+      never destroyed mid-write (its dir is seconds old, far inside any
+      sane grace window)."""
     import shutil
+    import time as _time
 
     chain = list_snapshots(root)
     keep = chain[-max(1, keep_last):]
     kept_versions = {s["version"] for s in keep}
+    chain_versions = {s["version"] for s in chain}
+    now = _time.time()
     expired = []
     for d in sorted(os.listdir(root)):
-        if d.startswith("v_") and d not in kept_versions:
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        if not d.startswith("v_") or d in kept_versions:
+            continue
+        p = os.path.join(root, d)
+        if d in chain_versions:
+            # superseded committed snapshot: always safe to delete
+            shutil.rmtree(p, ignore_errors=True)
             expired.append(d)
+        else:
+            # orphan OR a concurrent publish mid-write: age-gate on mtime
+            try:
+                age = now - os.path.getmtime(p)
+            except OSError:
+                continue
+            if age >= orphan_grace_sec:
+                shutil.rmtree(p, ignore_errors=True)
+                expired.append(d)
     tmp = os.path.join(root, "_snapshots.jsonl.tmp")
     with open(tmp, "w") as f:
         for snap in keep:

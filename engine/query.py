@@ -416,8 +416,7 @@ def query_topk(
         # vectorized kernel work per task at 10^12 docs, bounded memory).
         range_size = handle.stats["range_size"]
         n_ranges = handle.stats.get("n_doc_ranges", 32)
-        total_df = sum(st[t]["df"] for t in terms)
-        n_groups = max(1, min(n_ranges, -(-total_df // WAND_SHARD_TARGET)))
+        n_groups = _wand_n_groups(handle, st, terms)
         width = range_size * (-(-n_ranges // n_groups))
         if n_groups == 1:
             # single shard ⇒ no co-location needed: fold the pruned scan into
@@ -573,15 +572,22 @@ def query_topk(
 LOCAL_MAX_POSTINGS = 500_000
 
 
+def _wand_n_groups(handle: IndexHandle, st: dict, terms: list[str]) -> int:
+    """The ONE (total_df, n_doc_ranges) → shard-count formula, shared by
+    query_topk's fan-out decision and wand_shard_count's report so the
+    two can never drift (ADVICE r3). Terms absent from the stats table
+    contribute no postings."""
+    total_df = sum(st[t]["df"] for t in terms if t in st)
+    n_ranges = handle.stats.get("n_doc_ranges", 32)
+    return max(1, min(n_ranges, -(-total_df // WAND_SHARD_TARGET)))
+
+
 def wand_shard_count(handle: IndexHandle, query: str) -> int:
     """How many doc-range shards the adaptive WAND path fans this query out
     to (1 = single shuffle-free task). Exposed so the bench can report the
     salted-shard fan-out per query per round (BENCH_r{N}.json)."""
     terms = [t for t in parse_query(query)]
-    st = _local_term_stats(handle, terms)
-    total_df = sum(st[t]["df"] for t in terms if t in st)
-    n_ranges = handle.stats.get("n_doc_ranges", 32)
-    return max(1, min(n_ranges, -(-total_df // WAND_SHARD_TARGET)))
+    return _wand_n_groups(handle, _local_term_stats(handle, terms), terms)
 
 
 def _local_term_stats(handle: IndexHandle, terms: list[str]) -> dict:

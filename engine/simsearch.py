@@ -305,10 +305,18 @@ IVF_ITERS = 4
 IVF_NPROBE = 3
 
 
+def _unit_rows(m: np.ndarray) -> np.ndarray:
+    """Row-normalize with the same 1e-12 norm floor the data-vector path
+    uses: an all-zero centroid (degenerate k-means list, or a zero embedding
+    picked as an init point) must yield a zero row, not NaN poisoning every
+    cosine/argmax it participates in (ADVICE r3)."""
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
 def _ivf_assign_partials(centroids: np.ndarray):
     """mapInPandas body: assign each vector to its nearest centroid (cosine)
     and emit per-list partial sums — the map-side combine of k-means."""
-    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    cn = _unit_rows(centroids)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         k, dim = centroids.shape
@@ -400,7 +408,7 @@ def build_ivf_index(
     """Persist (vec_id, list_id) partitioned by list_id + the centroid table.
     A query reads only its probed list partitions."""
     cents = train_ivf_centroids(e, n_lists, n_iters)
-    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    cn = _unit_rows(cents)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -450,7 +458,7 @@ def ivf_topk(
     cents = np.zeros((len(crows), len(qv)), dtype=np.float64)
     for r in crows:
         cents[int(r["list_id"])] = np.asarray(r["centroid"])
-    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    cn = _unit_rows(cents)
     qn = np.asarray(qv, dtype=np.float64)
     qn = qn / max(float(np.linalg.norm(qn)), 1e-12)
     probe = np.argsort(-(cn @ qn), kind="stable")[:nprobe].tolist()

@@ -261,7 +261,10 @@ def skew_safe_self_pairs(
     # pathological corpus Spark must be free to shuffle the semi-join
     cold_side = df.join(hot, key_cols, "left_anti")
     hot_side = df.join(hot, key_cols, "left_semi")
-    bkt = (F.abs(F.xxhash64(F.col(id_col))) % m).cast("int")
+    # pmod, not abs-then-%: abs(Long.MIN_VALUE) overflows negative (or
+    # throws under ANSI), which would put that id outside 0..m-1 and
+    # silently drop every hot pair involving it (ADVICE r3)
+    bkt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)).cast("int")
     seq = F.explode(F.sequence(F.lit(0), F.lit(m - 1)))
     hx = hot_side.withColumn("p", bkt).withColumn("q", seq)
     hy = hot_side.withColumn("q", bkt).withColumn("p", seq)

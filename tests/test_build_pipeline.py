@@ -236,3 +236,97 @@ def test_pid_fingerprint_sees_content_changes(spark):
     # unrelated pid untouched
     moved = fp([(0, "u://a", "ALPHA", *rows[0][3:]), rows[1], rows[2]])
     assert moved[1] == base[1] and moved[0] != base[0]
+
+
+def test_keep_snapshots_retention_from_build(spark, index_cfg):
+    """cfg.keep_snapshots wires Iceberg-style retention into the publish
+    path: three builds with keep_snapshots=2 leave exactly the two newest
+    versions readable (older dirs gone, pinning them raises)."""
+    import dataclasses
+
+    from engine.publish import list_snapshots, read_manifest
+
+    cfg = dataclasses.replace(index_cfg, keep_snapshots=2)
+    wp = load_webpages(spark, SF_DIR_001).limit(80)
+    root = tempfile.mkdtemp(prefix="idx_keep_")
+    for _ in range(3):
+        build_index(spark, wp, root, cfg)
+    assert [s["version"] for s in list_snapshots(root)] == ["v_1", "v_2"]
+    dirs = sorted(d for d in os.listdir(root) if d.startswith("v_"))
+    assert dirs == ["v_1", "v_2"]
+    assert read_manifest(root)["version"] == "v_2"
+    h = open_index(root, version="v_1")  # kept historical version readable
+    assert h.version_dir.endswith("v_1")
+    with pytest.raises(KeyError):
+        read_manifest(root, version="v_0")
+
+
+def _postings_hash(spark, handle):
+    """Same xor-of-block-hashes expression bench.py reports as
+    index_content_hash — byte-level identity of every compressed block."""
+    return (
+        spark.read.parquet(handle.postings_path)
+        .select(
+            F.xxhash64(
+                "term", "salt", "block_seq", "n", "first_doc_id",
+                "last_doc_id", "ids_enc", "tfs_enc", "dls_enc"
+            ).alias("h")
+        )
+        .agg(F.expr("bit_xor(h)").alias("x"))
+        .collect()[0]["x"]
+    )
+
+
+def test_spimi_spill_byte_identical_index(spark, index_cfg):
+    """SPIMI partial spill (cfg.spimi_flush_mb): a build forced to flush its
+    posting accumulators many times mid-partition must produce a
+    byte-identical index to the unflushed build — the merge stage unions
+    multi-row partials per (term, pid) exactly like partials from distinct
+    pids, and doc ids keep ascending across flushes."""
+    import dataclasses
+
+    wp = load_webpages(spark, SF_DIR_001)
+    a = build_index(spark, wp, tempfile.mkdtemp(prefix="idx_noflush_"), index_cfg)
+    cfg_spill = dataclasses.replace(
+        index_cfg, spimi_flush_mb=0.02, arrow_batch_rows=64
+    )
+    b = build_index(spark, wp, tempfile.mkdtemp(prefix="idx_flush_"), cfg_spill)
+    assert a.stats["n_docs"] == b.stats["n_docs"]
+    assert _postings_hash(spark, a) == _postings_hash(spark, b)
+
+
+def test_spimi_flush_emits_multiple_partial_frames(index_cfg):
+    """The spill path actually triggers: driving the mapInPandas body
+    directly with a tiny budget yields posting partials across several
+    frames (not one end-of-stream frame), and the same (term, pid) may
+    appear in more than one of them."""
+    import dataclasses
+
+    import pandas as pd
+
+    from engine.build import _fused_spimi
+
+    cfg = dataclasses.replace(index_cfg, spimi_flush_mb=0.001)  # ~52 cells
+    fn = _fused_spimi(cfg, dedup=False)
+    batches = [
+        pd.DataFrame(
+            {
+                "url": [f"https://x.test/{i}/{j}" for j in range(8)],
+                "pid": [0] * 8,
+                "text": ["the quick brown fox jumps over lazy dogs"] * 8,
+                "lang": ["en"] * 8,
+            }
+        )
+        for i in range(4)
+    ]
+    outs = list(fn(iter(batches)))
+    posting_frames = [
+        o for o in outs if (o["term"] != "").any()
+    ]
+    assert len(posting_frames) > 1  # spilled at least once mid-stream
+    # the same (pid, term) appears in >1 partial frame → merge must union
+    seen: dict[tuple, int] = {}
+    for o in posting_frames:
+        for t in set(o.loc[o["term"] != "", "term"]):
+            seen[(0, t)] = seen.get((0, t), 0) + 1
+    assert max(seen.values()) > 1

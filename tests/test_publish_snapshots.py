@@ -97,13 +97,16 @@ def test_phantom_entry_stays_invisible_after_later_commits(tmp_path):
 
 def test_expire_snapshots(tmp_path):
     """expireSnapshots analog: expired versions become unreadable and their
-    dirs are gone; kept versions + manifest are intact; orphan dirs pruned."""
+    dirs are gone; kept versions + manifest are intact; AGED orphan dirs
+    pruned (fresh orphans are covered by the race test below)."""
     from engine.publish import expire_snapshots
 
     root = str(tmp_path / "idx")
     for p in ("alpha", "beta", "gamma", "delta"):
         _publish(root, p)
-    os.makedirs(os.path.join(root, "v_77"))  # orphan, never committed
+    orphan = os.path.join(root, "v_77")  # orphan, never committed
+    os.makedirs(orphan)
+    os.utime(orphan, (0, 0))  # ancient mtime → past any grace window
 
     expired = expire_snapshots(root, keep_last=2)
     assert expired == ["v_0", "v_1", "v_77"]
@@ -117,3 +120,34 @@ def test_expire_snapshots(tmp_path):
         read_manifest(root, version="v_0")
     # pinning a kept historical version still works
     assert read_manifest(root, version="v_2")["stats"]["payload"] == "gamma"
+
+
+def test_expire_never_destroys_inflight_publish(tmp_path):
+    """Round-4 advice (medium): a CONCURRENT atomic_publish that has created
+    its v_<n> dir but not yet swapped the manifest must survive a
+    simultaneous expire_snapshots — deleting it would leave the subsequent
+    manifest commit pointing at a destroyed directory. The in-flight dir is
+    indistinguishable from an orphan by name, so expire age-gates unknown
+    v_* dirs (Iceberg's expireSnapshots / orphan-removal split)."""
+    from engine.publish import expire_snapshots
+
+    root = str(tmp_path / "idx")
+    for p in ("alpha", "beta", "gamma"):
+        _publish(root, p)
+    # simulate the race: writer has created v_3 + written data, manifest not
+    # yet swapped, when expire runs
+    inflight = os.path.join(root, "v_3")
+    os.makedirs(inflight)
+    with open(os.path.join(inflight, "data.json"), "w") as f:
+        json.dump("delta-in-flight", f)
+
+    expired = expire_snapshots(root, keep_last=1)
+    assert "v_3" not in expired  # fresh mtime → inside the grace window
+    assert os.path.isdir(inflight)
+    with open(os.path.join(inflight, "data.json")) as f:
+        assert json.load(f) == "delta-in-flight"
+    # superseded committed versions still expire regardless of age
+    assert expired == ["v_0", "v_1"]
+    # ...and the racing publish can still complete and commit on top
+    _publish(root, "epsilon")  # becomes v_4 (v_3's dir already exists)
+    assert read_manifest(root)["version"] == "v_4"

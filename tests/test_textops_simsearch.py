@@ -209,3 +209,21 @@ def test_ann_ivf_recall_and_pruned_scan(spark, tmp_path):
              for r in assigned.groupBy("list_id").count().collect()}
     top3 = sorted(sizes.values(), reverse=True)[:3]
     assert sum(sizes.values()) == 500 and sum(top3) < 500
+
+
+def test_ivf_zero_vector_centroid_no_nan():
+    """Round-4 advice: an all-zero embedding picked as a centroid (or a
+    degenerate k-means list) must not poison assignments with NaN — centroid
+    normalization uses the same 1e-12 floor as the data-vector path."""
+    import numpy as np
+
+    from engine.simsearch import _unit_rows
+
+    m = np.array([[0.0, 0.0, 0.0], [3.0, 0.0, 4.0]])
+    u = _unit_rows(m)
+    assert np.isfinite(u).all()
+    assert np.allclose(u[0], 0.0)
+    assert np.allclose(np.linalg.norm(u[1]), 1.0)
+    # argmax over cosines involving the zero row is well-defined (ties → 0)
+    q = np.array([1.0, 0.0, 0.0])
+    assert int((u @ q).argmax()) in (0, 1)
