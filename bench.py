@@ -129,6 +129,26 @@ def main() -> None:
         lat_local.extend(per)
         timings[f"q_auto:{q}"] = round(min(per), 4)
 
+    # dedicated multi-shard WAND row: shrink the per-shard posting target so
+    # the salted fan-out path (shard shuffle + per-shard scorers + driver
+    # merge) is timed every round even when the corpus is small enough that
+    # the adaptive path would pick one shard. Rank-identity vs the default
+    # path is asserted — the scorer is exact for any doc-range partitioning.
+    from engine.query import wand_shard_count
+
+    shard_q = "the data"
+    shard_tgt = max(100, int(handle.stats["n_docs"]) // 4)
+    n_sh = wand_shard_count(handle, shard_q, shard_target=shard_tgt)
+    t1 = time.time()
+    sharded = query_topk(
+        spark, handle, shard_q, k=10, mode="wand", shard_target=shard_tgt
+    ).collect()
+    timings[f"q_wand_sharded[{n_sh}]:{shard_q}"] = round(time.time() - t1, 4)
+    base = query_topk(spark, handle, shard_q, k=10, mode="wand").collect()
+    assert [r["doc_id"] for r in sharded] == [r["doc_id"] for r in base], (
+        "multi-shard WAND diverged from single-shard ranking"
+    )
+
     # relational headliners for breadth
     from engine.relops import QUERIES as RELQ
 
@@ -137,9 +157,8 @@ def main() -> None:
         RELQ[name](spark, sf_dir).collect()
         timings[name] = round(time.time() - t1, 3)
 
-    from engine.query import wand_shard_count
-
     wand_shards = {q: wand_shard_count(handle, q) for q in QUERIES}
+    wand_shards[f"sharded[{shard_q}]"] = n_sh
     # salt-path visibility (B7): how many terms got split, into how many
     # doc-range segments — nonzero whenever any term crosses the hot df
     # threshold, at any corpus scale

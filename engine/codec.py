@@ -332,10 +332,26 @@ def encode_blocks(values: np.ndarray, starts: np.ndarray) -> tuple[list[int], li
     high_bytes = np.add.reduceat(
         np.where(exc, varint_sizes(high), 0), starts
     )
-    # conservative position-bytes bound (deltas ≤ block length) and exact
-    # n_exc varint size: the estimate is an UPPER bound on the encoded
-    # size, so a block chosen for PFor is never larger than predicted
-    pos_bytes = n_exc * varint_sizes(lens.astype(np.uint64))
+    # exact position-bytes: varint-size the exception-position delta stream
+    # pfor_encode actually writes (block-local positions, first absolute,
+    # then gaps) and sum per block — one more reduceat makes the whole
+    # pf_block prediction EXACT, so the chosen codec is exactly the argmin
+    # of the real encoded sizes (the old per-exception upper bound could
+    # misprice blocks whose exceptions cluster early)
+    pos_bytes = np.zeros(len(starts), dtype=np.int64)
+    eidx = np.flatnonzero(exc)
+    if len(eidx):
+        eblk = blk_of[eidx]
+        p = eidx - starts[eblk]
+        pdl = p.copy()
+        same = np.zeros(len(eidx), dtype=bool)
+        same[1:] = eblk[1:] == eblk[:-1]
+        si = np.flatnonzero(same)
+        pdl[si] = p[si] - p[si - 1]
+        estarts = np.flatnonzero(~same)
+        pos_bytes[eblk[estarts]] = np.add.reduceat(
+            varint_sizes(pdl.astype(np.uint64)), estarts
+        )
     pf_block = (
         1 + (lens * w_blk + 7) // 8
         + varint_sizes(n_exc.astype(np.uint64))

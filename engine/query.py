@@ -345,11 +345,16 @@ def query_topk(
     conjunctive: bool = False,
     with_url: bool = True,
     tiebreak: str = "doc_id",
+    shard_target: int | None = None,
 ) -> DataFrame:
     """Top-k BM25. Returns (doc_id, url?, score) ordered by
     (score desc, doc_id asc) — the golden tie-break (SURVEY.md §5.2).
     tiebreak="url" (brute and wand modes) breaks exact-score ties by url
-    instead, which is what the ANSI-SQL oracle can express."""
+    instead, which is what the ANSI-SQL oracle can express.
+    shard_target overrides WAND_SHARD_TARGET (postings per WAND shard) —
+    the scorer is exact for any doc-range partitioning, so this only moves
+    the fan-out/latency trade-off; the bench uses it to exercise the
+    multi-shard path at small corpus sizes."""
     handle = open_index(index) if isinstance(index, str) else index
     terms = parse_query(query)
     if mode in ("local", "auto"):
@@ -416,7 +421,7 @@ def query_topk(
         # vectorized kernel work per task at 10^12 docs, bounded memory).
         range_size = handle.stats["range_size"]
         n_ranges = handle.stats.get("n_doc_ranges", 32)
-        n_groups = _wand_n_groups(handle, st, terms)
+        n_groups = _wand_n_groups(handle, st, terms, shard_target)
         width = range_size * (-(-n_ranges // n_groups))
         if n_groups == 1:
             # single shard ⇒ no co-location needed: fold the pruned scan into
@@ -572,22 +577,30 @@ def query_topk(
 LOCAL_MAX_POSTINGS = 500_000
 
 
-def _wand_n_groups(handle: IndexHandle, st: dict, terms: list[str]) -> int:
+def _wand_n_groups(
+    handle: IndexHandle, st: dict, terms: list[str],
+    shard_target: int | None = None,
+) -> int:
     """The ONE (total_df, n_doc_ranges) → shard-count formula, shared by
     query_topk's fan-out decision and wand_shard_count's report so the
     two can never drift (ADVICE r3). Terms absent from the stats table
     contribute no postings."""
+    tgt = shard_target or WAND_SHARD_TARGET
     total_df = sum(st[t]["df"] for t in terms if t in st)
     n_ranges = handle.stats.get("n_doc_ranges", 32)
-    return max(1, min(n_ranges, -(-total_df // WAND_SHARD_TARGET)))
+    return max(1, min(n_ranges, -(-total_df // tgt)))
 
 
-def wand_shard_count(handle: IndexHandle, query: str) -> int:
+def wand_shard_count(
+    handle: IndexHandle, query: str, shard_target: int | None = None
+) -> int:
     """How many doc-range shards the adaptive WAND path fans this query out
     to (1 = single shuffle-free task). Exposed so the bench can report the
     salted-shard fan-out per query per round (BENCH_r{N}.json)."""
     terms = [t for t in parse_query(query)]
-    return _wand_n_groups(handle, _local_term_stats(handle, terms), terms)
+    return _wand_n_groups(
+        handle, _local_term_stats(handle, terms), terms, shard_target
+    )
 
 
 def _local_term_stats(handle: IndexHandle, terms: list[str]) -> dict:

@@ -189,3 +189,83 @@ class TestPFor:
         ns = np.diff(np.append(starts, len(v)))
         got = decode_concat(codecs, bufs, ns.tolist())
         assert (got == v).all()
+
+
+class TestExactCodecChoice:
+    """Round-4 advice item: encode_blocks' batched size prediction is now
+    EXACT (the position-bytes term varint-sizes the real exception-delta
+    stream), so the chosen codec per block must be the argmin of the three
+    actual encoded sizes — including adversarial early-clustered-exception
+    blocks the old upper bound mispriced."""
+
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=2**63),
+            min_size=1,
+            max_size=300,
+        ),
+        st.integers(min_value=1, max_value=64),
+    )
+    @settings(deadline=None, max_examples=200)
+    def test_chosen_codec_is_argmin_of_actual_sizes(self, vals, bs):
+        import numpy as np
+
+        from engine.codec import (
+            CODEC_FOR,
+            CODEC_PFOR,
+            CODEC_VARINT,
+            _pfor_width,
+            encode_blocks,
+            for_encode,
+            pfor_encode,
+            varint_encode,
+        )
+
+        v = np.asarray(vals, dtype=np.uint64)
+        starts = np.arange(0, len(v), bs, dtype=np.int64)
+        codecs, bufs = encode_blocks(v, starts)
+        ends = np.append(starts[1:], len(v))
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            blk = v[s:e]
+            actual = {
+                CODEC_VARINT: len(varint_encode(blk)),
+                CODEC_FOR: len(for_encode(blk)),
+                CODEC_PFOR: len(pfor_encode(blk, _pfor_width(blk))),
+            }
+            chosen = codecs[i]
+            assert len(bufs[i]) == actual[chosen]  # prediction == reality
+            assert actual[chosen] == min(actual.values()), (
+                blk[:8], actual, chosen
+            )
+
+    def test_early_clustered_exceptions(self):
+        """The adversarial shape for the old bound: all exceptions at the
+        block head → tiny position deltas, but the bound priced each at
+        varint_size(block_len). PFor must now win when it actually is
+        smallest."""
+        import numpy as np
+
+        from engine.codec import (
+            _pfor_width,
+            decode_concat,
+            encode_blocks,
+            for_encode,
+            pfor_encode,
+            varint_encode,
+        )
+
+        blk = np.concatenate(
+            [
+                np.full(6, np.uint64(1) << np.uint64(40)),  # clustered head
+                np.full(250, 3, dtype=np.uint64),
+            ]
+        )
+        codecs, bufs = encode_blocks(blk, np.asarray([0], dtype=np.int64))
+        actual = {
+            0: len(varint_encode(blk)),
+            1: len(for_encode(blk)),
+            2: len(pfor_encode(blk, _pfor_width(blk))),
+        }
+        assert len(bufs[0]) == actual[codecs[0]] == min(actual.values())
+        got = decode_concat(codecs, bufs, [len(blk)])
+        assert (got == blk).all()
