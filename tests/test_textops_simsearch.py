@@ -227,3 +227,89 @@ def test_ivf_zero_vector_centroid_no_nan():
     # argmax over cosines involving the zero row is well-defined (ties → 0)
     q = np.array([1.0, 0.0, 0.0])
     assert int((u @ q).argmax()) in (0, 1)
+
+
+def test_ann_ivf_autoscaled_list_count(spark, tmp_path):
+    """Round-4: n_lists=None scales the list count with the corpus
+    (clamp(sqrt(n), 16, 65536)) and recall holds at the second list count —
+    the fixture-pinned 16 is covered by test_ann_ivf_recall_and_pruned_scan."""
+    import numpy as np
+
+    from engine.simsearch import (
+        build_ivf_index,
+        cosine_topk_df,
+        default_ivf_lists,
+        ivf_topk,
+    )
+
+    assert default_ivf_lists(0) == 16  # floor
+    assert default_ivf_lists(500) == 22
+    assert default_ivf_lists(10**9) == 31622
+    assert default_ivf_lists(10**12) == 65536  # cap
+
+    rng = np.random.default_rng(11)
+    qv = rng.standard_normal(64)
+    rows = [(i, (qv + 0.35 * rng.standard_normal(64)).tolist()) for i in range(30)]
+    rows += [(i, rng.standard_normal(64).tolist()) for i in range(30, 500)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    path, cents = build_ivf_index(spark, e, str(tmp_path / "ivf_auto"),
+                                  n_lists=None)
+    assert cents.shape == (22, 64)  # persisted list count = centroid rows
+    assert spark.read.parquet(path + "_centroids").count() == 22
+    brute = [r["vec_id"] for r in cosine_topk_df(e, qv.tolist(), 10).collect()]
+    ivf = [r["vec_id"] for r in ivf_topk(spark, e, path, qv, 10).collect()]
+    overlap = len(set(brute) & set(ivf))
+    assert overlap >= 8, f"IVF recall too low at 22 lists: {overlap}/10"
+
+
+def test_lsh_margin_ordered_probe_budget():
+    """Round-4: margin-ordered multi-probe cuts the per-table probe count
+    ~4× (137 exhaustive ≤2-flip buckets → ≤32) while the clustered-corpus
+    recall test above stays green under the new default. The base bucket is
+    always probed, and every budgeted probe is drawn from the exhaustive
+    set ordered by |margin| flip cost."""
+    import numpy as np
+
+    from engine.simsearch import N_PLANES, N_TABLES, _PLANES, _probe_sigs
+
+    rng = np.random.default_rng(17)
+    for trial in range(5):
+        qv = rng.standard_normal(64)
+        for tb in range(N_TABLES):
+            exhaustive = _probe_sigs(qv, tb, probe_budget=None)
+            budgeted = _probe_sigs(qv, tb)  # default budget 32
+            assert len(exhaustive) == 137  # 1 + 16 + C(16,2)
+            assert len(budgeted) <= 32
+            assert set(budgeted) <= set(exhaustive)
+            margins = qv @ _PLANES[tb].T
+            base = int(
+                (margins > 0).astype(np.int64) @ (1 << np.arange(N_PLANES))
+            )
+            assert base in budgeted
+            # the cheapest single flip (smallest |margin|) must be probed
+            cheapest = base ^ (1 << int(np.abs(margins).argmin()))
+            assert cheapest in budgeted
+
+
+def test_lsh_probe_escalation_on_sparse_corpus(spark):
+    """Round-4: on a sparse corpus where the 32-probe budget starves the
+    candidate set below k, ann_topk escalates (budget → exhaustive ≤2-flip
+    → ≤3-flip) instead of returning a deficient top-k. The escalated result
+    must contain at least as many rows as the exhaustive-2 probe alone."""
+    import numpy as np
+
+    from engine.simsearch import ann_signatures, ann_topk
+
+    rng = np.random.default_rng(23)
+    rows = [(i, rng.standard_normal(64).tolist()) for i in range(300)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sigs = ann_signatures(e)
+    qv = rng.standard_normal(64)
+
+    exhaustive2 = ann_topk(
+        spark, e, sigs, qv, k=10, probe_budget=None
+    ).count()
+    escalated = ann_topk(spark, e, sigs, qv, k=10).count()  # default budget
+    assert escalated >= exhaustive2
+    assert escalated >= 10 or escalated == e.count()
