@@ -1,0 +1,31 @@
+#!/bin/bash
+# Round-4 scaling campaign driver: chunked invocations of bench_scaling.py
+# (1 interleaved N/4N pair each, resuming BENCH/scaling_runs.json) so the
+# BENCH/BASELINE.md artifact is rewritten after EVERY pair — a mid-campaign
+# kill always leaves a complete, current artifact. Detach with setsid so the
+# campaign survives the launching shell.
+#
+#   setsid nohup bash scripts/run_scaling_campaign.sh > BENCH/r4_campaign.log 2>&1 &
+#
+# Stop cleanly: touch BENCH/STOP_CAMPAIGN (checked between pairs).
+set -u
+cd "$(dirname "$0")/.."
+MAX_PAIRS=${MAX_PAIRS:-24}
+export BENCH_SCALING_REPS=1
+
+for i in $(seq 1 "$MAX_PAIRS"); do
+  if [ -f BENCH/STOP_CAMPAIGN ]; then
+    echo "STOP_CAMPAIGN present — exiting after $((i-1)) pairs"
+    break
+  fi
+  echo "=== pair $i/$MAX_PAIRS $(date -u +%H:%M:%S) load=$(cut -d' ' -f1 /proc/loadavg) ==="
+  if [ -f BENCH/r4_started ]; then
+    BENCH_SCALING_RESUME=BENCH/scaling_runs.json BENCH_SCALING_SKIP_REF=1 \
+      python scripts/bench_scaling.py
+  else
+    # first pair starts the round-4 file fresh (round-3 data preserved in
+    # BENCH/scaling_runs_5M_r3.json) and includes the one local[32] ref run
+    python scripts/bench_scaling.py && touch BENCH/r4_started
+  fi
+done
+echo "campaign done $(date -u +%H:%M:%S)"
