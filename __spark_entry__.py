@@ -29,7 +29,7 @@ _PRIORITY = [
     # inverted-index / BM25 core (north rule)
     "bm25_topk_wand", "bm25_topk_wand_cold", "bm25_topk_auto",
     "bm25_topk_disjunctive", "bm25_topk_stopword", "bm25_topk_single",
-    "bm25_conjunctive",
+    "bm25_conjunctive", "bm25_phrase",
     "index_term_stats", "index_doc_lengths", "index_postings_blocks",
     "facets_lang", "facets_top_terms", "latest_crawl_dedup",
     "index_snapshot_pinned", "index_snapshot_diff", "es_bulk_lines",
@@ -48,12 +48,13 @@ _PRIORITY = [
     # rounds (r2 ran scans/joins/aggs/windows; r3 ran set ops/UDx/pivot/
     # json; r4 rotates in the 14 stalest entries — all last green in r1:
     # the outer/semi/theta joins, distinct aggs, window frames, explode,
-    # and four scalar-function families). Deferred to r5: fn_array_distinct,
-    # fn_map, fn_math, fn_percentile_approx (r1) + the r2 slice.
+    # and three scalar-function families; fn_string yields its slot to the
+    # NEW bm25_phrase entry above). Deferred to r5: fn_array_distinct,
+    # fn_map, fn_math, fn_percentile_approx, fn_string (r1) + the r2 slice.
     "join_full_outer", "join_right_outer", "join_semi", "join_theta",
     "agg_approx_distinct", "agg_count_distinct", "agg_flags_conditional",
     "win_lead_delta", "win_running_frame", "explode_flatten",
-    "fn_array", "fn_datetime", "fn_percentile", "fn_string",
+    "fn_array", "fn_datetime", "fn_percentile",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)  # driver runs exactly 50
 

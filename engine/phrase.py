@@ -1,0 +1,133 @@
+"""Phrase queries over the inverted index (round-4 extension of the BM25
+search layer, SURVEY.md §2.B).
+
+Semantics: top-k documents whose token stream contains the query's tokens
+CONSECUTIVELY (exact phrase under the engine analyzer — lowercase + Unicode
+word segmentation, engine/analyzer.py), ranked by the BM25 sum of the
+phrase's unique terms (Lucene k1/b from the index stats), ties broken by
+url. This is the classic "phrase by verification" plan for an index without
+positional postings:
+
+  1. candidate retrieval — conjunctive BM25 over the phrase's unique terms,
+     straight from the existing pruned-postings scan + vectorized brute
+     scorer (engine/query.py): bucket-partition-pruned scan, broadcast
+     stats, map-side partial aggregation. No top-k cut here: adjacency
+     filtering happens next, so every conjunctive doc stays a candidate.
+  2. adjacency verification — semi-join the corpus to the candidate set
+     (candidates ≪ corpus for any selective phrase), re-extract + tokenize
+     ONLY those rows with the byte-identical analyzer, and keep docs whose
+     space-joined token stream contains the space-joined phrase. One
+     Arrow-batched mapInPandas pass; no per-row Python UDFs.
+  3. top-k — order by (score desc, url asc), limit k.
+
+Scale notes (100 TB): every stage is distributed — the verification cost is
+O(candidate text volume), which for stopword-grade phrases ("the data") is
+the known worst case of verification-based phrase search; the standard
+escape hatch is positional postings (next-word indexes / term-pair
+posting lists), which would slot in as an additional index artifact without
+changing this API. The candidate semi-join pushes the url filter into the
+corpus scan, so only candidate rows' html/text bytes move.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from engine.analyzer import extract_series, tokenize, tokenize_series
+from engine.build import IndexHandle, open_index
+from engine.query import (
+    SCORE_SCHEMA,
+    _brute_scorer,
+    _local_term_stats,
+    _pruned_postings,
+    term_stats,
+)
+
+_VERIFY_SCHEMA = T.StructType([T.StructField("url", T.StringType())])
+
+
+def _phrase_verifier(phrase_tokens: list[str]):
+    """Arrow-batched adjacency check: keep urls whose analyzer token stream
+    contains the phrase tokens consecutively. Token streams are compared as
+    single-space joins, so token boundaries are exact (no substring false
+    positives: 'data tables' does not contain the phrase 'data table')."""
+    needle = " " + " ".join(phrase_tokens) + " "
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            text = extract_series(pdf["url"], pdf["html"], pdf["text"])
+            stream = " " + tokenize_series(text).str.join(" ") + " "
+            hit = stream.str.contains(needle, regex=False)
+            yield pd.DataFrame({"url": pdf["url"][hit]})
+
+    return fn
+
+
+def conjunctive_scored(
+    spark: SparkSession, handle: IndexHandle, terms: list[str]
+) -> DataFrame:
+    """All docs containing every term, with their summed BM25 score —
+    query_topk's brute path without the top-k cut. Returns (doc_id, score)."""
+    st = None
+    try:
+        st = _local_term_stats(handle, terms)
+    except Exception:
+        st = term_stats(spark, handle, terms)
+    missing = [t for t in terms if t not in st]
+    if missing:  # a zero-df term can never satisfy the conjunction
+        return spark.createDataFrame(
+            [], "doc_id long, score double"
+        )
+    k1, b = handle.stats["k1"], handle.stats["b"]
+    avgdl = handle.stats["avgdl"]
+    blocks = _pruned_postings(spark, handle, terms)
+    scored = blocks.mapInPandas(_brute_scorer(st, k1, b, avgdl), SCORE_SCHEMA)
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"), F.count("*").alias("nt"))
+        .filter(F.col("nt") == len(terms))
+        .select("doc_id", F.col("score").cast("double"))
+    )
+
+
+def phrase_topk(
+    spark: SparkSession,
+    index: IndexHandle | str,
+    corpus: DataFrame,
+    phrase: str,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k exact-phrase matches ranked by BM25 over the phrase's unique
+    terms. `corpus` is the webpages table the index was built over
+    (url, warc_ts, html, text, lang) — one row per url, i.e. post
+    latest-crawl dedup (build_index dedups internally; feed the same input).
+    Returns (doc_id, url, score) ordered by (score desc, url asc)."""
+    handle = open_index(index) if isinstance(index, str) else index
+    ordered = tokenize(phrase)
+    if not ordered:
+        return spark.createDataFrame([], "doc_id long, url string, score double")
+    uniq = list(dict.fromkeys(ordered))
+    cand = conjunctive_scored(spark, handle, uniq)
+    docs = spark.read.parquet(handle.docs_path).select("doc_id", "url")
+    cand_urls = cand.join(docs, "doc_id")  # (doc_id, score, url)
+    if len(ordered) > 1:
+        verified = (
+            corpus.join(
+                cand_urls.select("url"), "url", "left_semi"
+            )
+            .select("url", "html", "text")
+            .mapInPandas(_phrase_verifier(ordered), _VERIFY_SCHEMA)
+        )
+        cand_urls = cand_urls.join(verified, "url", "left_semi")
+    return (
+        cand_urls.select("doc_id", "url", "score")
+        .orderBy(F.desc("score"), F.asc("url"))
+        .limit(k)
+    )

@@ -123,6 +123,34 @@ def bm25_topk_wand_cold(spark, sf_dir):
     return out.select("url", F.round("score", 4).alias("score"))
 
 
+# Phrase oracle: the BM25 scoring CTEs over the phrase's unique terms, with
+# the phrase-containment predicate expressed as a delimited LIKE over the
+# space-joined token stream (fixture text is single-space-separated ascii
+# vocab, so lower(text) IS the analyzer token stream — same equivalence the
+# tokenizer oracle above relies on).
+def _phrase_sql(phrase: str, k: int = 10) -> str:
+    terms = list(dict.fromkeys(phrase.lower().split()))
+    base = _bm25_sql(terms, k, conjunctive=True)
+    return base.replace(
+        "FROM scores s JOIN documents d USING (doc_id)",
+        "FROM scores s JOIN documents d USING (doc_id)\n"
+        f"WHERE ' ' || lower(d.text) || ' ' LIKE '% {phrase.lower()} %'",
+    )
+
+
+@register("bm25_phrase", _phrase_sql("data table", 10))
+def bm25_phrase(spark, sf_dir):
+    """Exact-phrase top-k (B18): conjunctive BM25 candidate retrieval from
+    the index, adjacency verification over the candidate semi-join only,
+    rank by unique-term BM25 sum (engine/phrase.py)."""
+    from engine.phrase import phrase_topk
+
+    h = get_index(spark, sf_dir)
+    corpus = load_webpages(spark, sf_dir)
+    out = phrase_topk(spark, h, corpus, "data table", k=10)
+    return out.select("url", F.round("score", 4).alias("score"))
+
+
 @register(
     "index_term_stats",
     """SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM (
