@@ -1,5 +1,5 @@
-"""Phrase queries over the inverted index (round-4 extension of the BM25
-search layer, SURVEY.md §2.B).
+"""Round-4 query-surface extensions over the inverted index (SURVEY.md
+§2.B18/§2.B19): exact-phrase top-k and facet-filtered top-k.
 
 Semantics: top-k documents whose token stream contains the query's tokens
 CONSECUTIVELY (exact phrase under the engine analyzer — lowercase + Unicode
@@ -70,30 +70,73 @@ def _phrase_verifier(phrase_tokens: list[str]):
     return fn
 
 
-def conjunctive_scored(
-    spark: SparkSession, handle: IndexHandle, terms: list[str]
+def scored_docs(
+    spark: SparkSession,
+    handle: IndexHandle,
+    terms: list[str],
+    conjunctive: bool = True,
 ) -> DataFrame:
-    """All docs containing every term, with their summed BM25 score —
-    query_topk's brute path without the top-k cut. Returns (doc_id, score)."""
+    """All matching docs with their summed BM25 score — query_topk's brute
+    path without the top-k cut. Returns (doc_id, score)."""
     st = None
     try:
         st = _local_term_stats(handle, terms)
     except Exception:
         st = term_stats(spark, handle, terms)
-    missing = [t for t in terms if t not in st]
-    if missing:  # a zero-df term can never satisfy the conjunction
-        return spark.createDataFrame(
-            [], "doc_id long, score double"
-        )
+    live = [t for t in terms if t in st]
+    if (conjunctive and len(live) < len(terms)) or not live:
+        return spark.createDataFrame([], "doc_id long, score double")
     k1, b = handle.stats["k1"], handle.stats["b"]
     avgdl = handle.stats["avgdl"]
-    blocks = _pruned_postings(spark, handle, terms)
+    blocks = _pruned_postings(spark, handle, live)
     scored = blocks.mapInPandas(_brute_scorer(st, k1, b, avgdl), SCORE_SCHEMA)
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("contrib").alias("score"), F.count("*").alias("nt")
+    )
+    if conjunctive:
+        agg = agg.filter(F.col("nt") == len(live))
+    return agg.select("doc_id", F.col("score").cast("double"))
+
+
+def conjunctive_scored(
+    spark: SparkSession, handle: IndexHandle, terms: list[str]
+) -> DataFrame:
+    return scored_docs(spark, handle, terms, conjunctive=True)
+
+
+def filtered_topk(
+    spark: SparkSession,
+    index: IndexHandle | str,
+    corpus: DataFrame,
+    query: str,
+    predicate,
+    k: int = 10,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """Facet-filtered BM25 top-k: the filter applies BEFORE the top-k cut
+    (post-filtering a plain top-k under-fills or skews the result set —
+    the classic filtered-search correctness trap). `predicate` is a Column
+    over the corpus's attribute columns (e.g. F.col('lang') == 'en').
+
+    Plan: score all matching docs (pruned-postings scan + vectorized brute
+    scorer), semi-join against the predicate-filtered corpus urls — the
+    predicate pushes down into the corpus parquet scan, and only (url)
+    strings of qualifying docs shuffle — then order+limit. Scale note: a
+    filter-aware WAND needs per-filter-value block maxima (or a doc-id
+    filter bitmap intersected during the shard sweep) to prune safely;
+    with the brute scorer the result is exact for any predicate.
+    Returns (doc_id, url, score) ordered by (score desc, url asc)."""
+    handle = open_index(index) if isinstance(index, str) else index
+    terms = list(dict.fromkeys(tokenize(query)))
+    scored = scored_docs(spark, handle, terms, conjunctive=conjunctive)
+    docs = spark.read.parquet(handle.docs_path).select("doc_id", "url")
+    keep_urls = corpus.filter(predicate).select("url")
     return (
-        scored.groupBy("doc_id")
-        .agg(F.sum("contrib").alias("score"), F.count("*").alias("nt"))
-        .filter(F.col("nt") == len(terms))
-        .select("doc_id", F.col("score").cast("double"))
+        scored.join(docs, "doc_id")
+        .join(keep_urls, "url", "left_semi")
+        .select("doc_id", "url", "score")
+        .orderBy(F.desc("score"), F.asc("url"))
+        .limit(k)
     )
 
 

@@ -138,6 +138,32 @@ def _phrase_sql(phrase: str, k: int = 10) -> str:
     )
 
 
+def _bm25_filtered_sql(terms: list[str], where: str, k: int = 10) -> str:
+    base = _bm25_sql(terms, k)
+    return base.replace(
+        "FROM scores s JOIN documents d USING (doc_id)",
+        f"FROM scores s JOIN documents d USING (doc_id)\nWHERE {where}",
+    )
+
+
+@register(
+    "bm25_topk_filtered",
+    _bm25_filtered_sql("spark join".split(), "d.lang = 'fr'", 10),
+)
+def bm25_topk_filtered(spark, sf_dir):
+    """Facet-filtered top-k (B19): the lang predicate applies BEFORE the
+    top-k cut via a semi-join against the filtered corpus urls
+    (engine/phrase.py::filtered_topk)."""
+    from engine.phrase import filtered_topk
+
+    h = get_index(spark, sf_dir)
+    corpus = load_webpages(spark, sf_dir)
+    out = filtered_topk(
+        spark, h, corpus, "spark join", F.col("lang") == "fr", k=10
+    )
+    return out.select("url", F.round("score", 4).alias("score"))
+
+
 @register("bm25_phrase", _phrase_sql("data table", 10))
 def bm25_phrase(spark, sf_dir):
     """Exact-phrase top-k (B18): conjunctive BM25 candidate retrieval from

@@ -36,7 +36,11 @@ Run: python scripts/bench_scaling.py
 Env: BENCH_SCALING_REPS (pairs per invocation, default 3),
      BENCH_SCALING_RESUME (path of a prior scaling_runs.json to extend),
      BENCH_SCALING_SKIP_REF=1 (skip the local[32] reference run),
-     SPARK_GRAFT_SCALE_PAIR (default "2,8").
+     SPARK_GRAFT_SCALE_PAIR (default "2,8"),
+     BENCH_SCALING_OUT (per-rep json path, default BENCH/scaling_runs.json),
+     BENCH_SCALING_MD (report path, default BENCH/BASELINE.md; "skip"
+     suppresses the report so a side campaign never clobbers the official
+     artifact).
 """
 
 from __future__ import annotations
@@ -240,8 +244,13 @@ Hash history: rounds 1-2 used varint/FOR blocks (sf0.1 hash
 `-145672724935591978`); round 3 added PForDelta patched-exception blocks
 (BASELINE.json:6), shrinking sf0.1 raw encoded block bytes −36% (on-disk
 snappy parquet 293,933 → 273,294) and moving the sf0.1 hash to
-`-4855513015888972368`. Ranks and scores are bit-identical (golden suite
-green before and after) — only block bytes changed.
+`-4855513015888972368`. Round 4 made the per-block codec choice exactly
+min-size (PFor exception positions are now priced by their real
+varint-delta stream), which flips a few large blocks' codec at the 5M
+scale: the 5M hash moved from `-6464533405764362812` (r3) to
+`-1008227264856883525` while the sf0.1 hash is unchanged. In every case
+ranks and scores are bit-identical (golden suite green before and after)
+— only block bytes changed.
 
 ## BM25 top-10 query latency ({r0['n_docs']:,}-doc index, warm, k=10, medians over all runs)
 
@@ -264,9 +273,16 @@ terms) rank-identical (scores to 1e-6) across all three strategies ×
 pruning ≡ brute force on random corpora, single- and multi-shard.
 """
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
-    with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
-    with open(os.path.join(ROOT, "BENCH", "scaling_runs.json"), "w") as f:
+    md_path = os.environ.get(
+        "BENCH_SCALING_MD", os.path.join(ROOT, "BENCH", "BASELINE.md")
+    )
+    if md_path != "skip":
+        with open(md_path, "w") as f:
+            f.write(md)
+    out_path = os.environ.get(
+        "BENCH_SCALING_OUT", os.path.join(ROOT, "BENCH", "scaling_runs.json")
+    )
+    with open(out_path, "w") as f:
         json.dump(runs, f, indent=1)
     print(json.dumps({"eff": {k: round(v, 4) for k, v in eff.items()},
                       "hash_ok": hash_ok,

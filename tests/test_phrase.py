@@ -101,3 +101,63 @@ def test_phrase_on_fixture_counts(spark, built_index):
     # scores are descending with url tiebreak
     pairs = [(r["score"], r["url"]) for r in out]
     assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+
+
+@pytest.fixture(scope="module")
+def lang_index(spark, index_cfg):
+    """Corpus where post-filtering a plain top-k would miss every 'fr' doc:
+    12 high-tf 'en' docs dominate any unfiltered top-10."""
+    from engine.build import build_index
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(12):  # en: "spark" repeated → top unfiltered scores
+        rows.append((f"https://en.example.com/doc/{i}", ts, None,
+                     "spark " * 5 + "filler", "en"))
+    for i in range(6):  # fr: single occurrence each
+        rows.append((f"https://fr.example.com/doc/{i}", ts, None,
+                     "spark mention ici", "fr"))
+    wp = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    h = build_index(spark, wp, tempfile.mkdtemp(prefix="idx_lang_"),
+                    index_cfg)
+    return h, wp
+
+
+def test_filtered_topk_filters_before_cut(spark, lang_index):
+    """filtered_topk returns the fr docs a naive top-k-then-filter drops."""
+    import pyspark.sql.functions as F
+
+    from engine.phrase import filtered_topk
+    from engine.query import query_topk
+
+    h, wp = lang_index
+    out = filtered_topk(spark, h, wp, "spark", F.col("lang") == "fr",
+                        k=10).collect()
+    assert len(out) == 6
+    assert all(r["url"].startswith("https://fr.") for r in out)
+    # the naive plan: unfiltered top-10 then post-filter → zero fr docs
+    naive = query_topk(spark, h, "spark", k=10, mode="brute",
+                       with_url=True).collect()
+    assert all(r["url"].startswith("https://en.") for r in naive)
+
+
+def test_filtered_topk_scores_match_unfiltered_brute(spark, lang_index):
+    """Scores are the plain BM25 scores — filtering changes the candidate
+    set, never the scoring (df/avgdl stay corpus-wide, as in ES/Lucene)."""
+    import pyspark.sql.functions as F
+
+    from engine.phrase import filtered_topk
+    from engine.query import query_topk
+
+    h, wp = lang_index
+    filt = {r["url"]: r["score"]
+            for r in filtered_topk(spark, h, wp, "spark",
+                                   F.col("lang") == "fr", k=10).collect()}
+    full = {r["url"]: r["score"]
+            for r in query_topk(spark, h, "spark", k=100, mode="brute",
+                                with_url=True).collect()}
+    for url, s in filt.items():
+        assert full[url] == pytest.approx(s, abs=1e-9)
