@@ -149,6 +149,16 @@ def main() -> None:
         "multi-shard WAND diverged from single-shard ranking"
     )
 
+    # phrase top-k row (B18) — candidate retrieval + adjacency verification.
+    # Gated to the unreplicated corpus so the scaling campaign's reps (whose
+    # metric is build throughput) don't pay the verification scan each rep.
+    if scale == 1:
+        from engine.phrase import phrase_topk
+
+        t1 = time.time()
+        phrase_topk(spark, handle, wp, "data table", k=10).collect()
+        timings["q_phrase:data table"] = round(time.time() - t1, 4)
+
     # relational headliners for breadth
     from engine.relops import QUERIES as RELQ
 
