@@ -1,5 +1,5 @@
 #!/bin/bash
-# Round-4 scaling campaign driver: chunked invocations of bench_scaling.py
+# Scaling campaign driver: chunked invocations of bench_scaling.py
 # (1 interleaved N/4N pair each, resuming BENCH/scaling_runs.json) so the
 # BENCH/BASELINE.md artifact is rewritten after EVERY pair — a mid-campaign
 # kill always leaves a complete, current artifact. Detach with setsid so the
@@ -8,14 +8,22 @@
 #   setsid nohup bash scripts/run_scaling_campaign.sh > BENCH/r4_campaign.log 2>&1 &
 #
 # Stop cleanly: touch BENCH/STOP_CAMPAIGN (checked between pairs).
+# DEADLINE_EPOCH (unix seconds, optional): no new pair starts after this
+# instant — a hard stop so a detached campaign can never contend with the
+# end-of-round driver bench.
 set -u
 cd "$(dirname "$0")/.."
 MAX_PAIRS=${MAX_PAIRS:-24}
+DEADLINE_EPOCH=${DEADLINE_EPOCH:-0}
 export BENCH_SCALING_REPS=1
 
 for i in $(seq 1 "$MAX_PAIRS"); do
   if [ -f BENCH/STOP_CAMPAIGN ]; then
     echo "STOP_CAMPAIGN present — exiting after $((i-1)) pairs"
+    break
+  fi
+  if [ "$DEADLINE_EPOCH" -gt 0 ] && [ "$(date -u +%s)" -ge "$DEADLINE_EPOCH" ]; then
+    echo "DEADLINE_EPOCH reached — exiting after $((i-1)) pairs"
     break
   fi
   echo "=== pair $i/$MAX_PAIRS $(date -u +%H:%M:%S) load=$(cut -d' ' -f1 /proc/loadavg) ==="
