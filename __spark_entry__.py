@@ -30,6 +30,10 @@ _PRIORITY = [
     "bm25_topk_wand", "bm25_topk_wand_cold", "bm25_topk_auto",
     "bm25_topk_disjunctive", "bm25_topk_stopword", "bm25_topk_single",
     "bm25_conjunctive", "bm25_phrase",
+    # round-5 additions: the never-driver-checked facet-filtered top-k
+    # (registered after the r4 window was fixed) and the NEW positional-
+    # postings phrase path (exact-phrase from index blocks alone)
+    "bm25_topk_filtered", "bm25_phrase_positional",
     "index_term_stats", "index_doc_lengths", "index_postings_blocks",
     "facets_lang", "facets_top_terms", "latest_crawl_dedup",
     "index_snapshot_pinned", "index_snapshot_diff", "es_bulk_lines",
@@ -46,21 +50,23 @@ _PRIORITY = [
     # relational slice — rotated each round, stalest-first, so every
     # registry entry gets a fresh driver row within a bounded number of
     # rounds (r2 ran scans/joins/aggs/windows; r3 ran set ops/UDx/pivot/
-    # json; r4 rotates in the 14 stalest entries — all last green in r1:
-    # the outer/semi/theta joins, distinct aggs, window frames, explode,
-    # and three scalar-function families; fn_string yields its slot to the
-    # NEW bm25_phrase entry above). Deferred to r5: fn_array_distinct,
-    # fn_map, fn_math, fn_percentile_approx, fn_string (r1) + the r2 slice.
-    "join_full_outer", "join_right_outer", "join_semi", "join_theta",
-    "agg_approx_distinct", "agg_count_distinct", "agg_flags_conditional",
-    "win_lead_delta", "win_running_frame", "explode_flatten",
-    "fn_array", "fn_datetime", "fn_percentile",
+    # json; r4 ran outer/semi/theta joins, distinct aggs, window frames,
+    # explode, fn_array/datetime/percentile). r5 rotates in the five
+    # last-green-in-r1 scalar-function families plus the stalest r2
+    # entries that fit after the two new bm25 rows above took their slots
+    # (agg_tpch_q1/join_smj_fact are additionally executed by bench.py
+    # every round; the rest of the r2 slice is byte-identical since r2).
+    "fn_array_distinct", "fn_map", "fn_math", "fn_percentile_approx",
+    "fn_string",
+    "scan_project_filter", "join_asof_events", "join_broadcast_dims",
+    "join_skew_salted", "agg_rollup", "win_topk_per_group",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)  # driver runs exactly 50
 
 
 def _registry():
     import engine.multimodal  # noqa: F401
+    import engine.positional  # noqa: F401
     import engine.searchops  # noqa: F401
     import engine.simsearch  # noqa: F401
     import engine.streamingops  # noqa: F401
