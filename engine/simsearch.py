@@ -213,11 +213,18 @@ def ann_topk(
     )
 
     def probe(bits: int, budget: int | None) -> DataFrame:
-        return (
+        out = (
             sig_df.filter(_probe_filter(qv, bits, budget))
             .select("vec_id")
             .distinct()
         )
+        if exclude_id is not None:
+            # exclude BEFORE the starvation count: the query's own bucket is
+            # always probed, so a self-query with exactly k budgeted
+            # candidates would otherwise skip escalation and return k-1
+            # neighbors (ADVICE r4)
+            out = out.filter(F.col("vec_id") != exclude_id)
+        return out
 
     ladder: list[tuple[int, int | None]] = [(n_probe_bits, probe_budget)]
     if probe_budget is not None:
@@ -230,8 +237,6 @@ def ann_topk(
             break
         cand_ids = probe(bits, budget)
     cands = e.join(cand_ids, "vec_id", "left_semi")
-    if exclude_id is not None:
-        cands = cands.filter(F.col("vec_id") != exclude_id)
     return (
         cands.select("vec_id", F.round(_cosine_col(qv.tolist()), 4).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -352,7 +357,7 @@ IVF_NPROBE = 3
 def default_ivf_lists(n_vectors: int) -> int:
     """Corpus-scaled list count: ~sqrt(n) lists keeps both the centroid
     table (n_lists·dim floats on the driver) and the per-list occupancy
-    (n/n_lists vectors scanned per probe) sublinear — 10^9 vectors → 31623
+    (n/n_lists vectors scanned per probe) sublinear — 10^9 vectors → 31622
     lists, ~31k vectors/list. Clamped to [16, 65536]: the floor keeps tiny
     fixtures probing meaningfully, the cap bounds the driver-side k-means
     update at 65536·dim doubles (~33 MB at dim 64)."""

@@ -313,3 +313,61 @@ def test_lsh_probe_escalation_on_sparse_corpus(spark):
     escalated = ann_topk(spark, e, sigs, qv, k=10).count()  # default budget
     assert escalated >= exhaustive2
     assert escalated >= 10 or escalated == e.count()
+
+
+def test_ann_self_query_starvation_escalates(spark):
+    """ADVICE r4: with exclude_id set, a self-query whose budgeted probe set
+    holds exactly k candidates (query included) must still escalate — the
+    exclude filter applies BEFORE the starvation count, else the ladder
+    returns k-1 neighbors. Corpus: query + k-1 exact clones share the base
+    buckets; extras are reachable only via multi-probe flips."""
+    import numpy as np
+
+    from engine.simsearch import (
+        _PLANES,
+        N_PLANES,
+        N_TABLES,
+        ann_signatures,
+        ann_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    qv = rng.standard_normal(64)
+
+    def sigs_of(v):
+        return [
+            int(((v @ _PLANES[tb].T) > 0).astype(np.int64)
+                @ (1 << np.arange(N_PLANES)))
+            for tb in range(N_TABLES)
+        ]
+
+    base = sigs_of(qv)
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    # deterministic search: a perturbation that flips >=1 bit in EVERY table
+    # (so the budget-1 base-bucket probe misses it) while staying within <=2
+    # flips in SOME table (so the (2, None) escalation rung finds it)
+    extras = []
+    for sigma in np.linspace(0.05, 1.5, 30):
+        for _ in range(40):
+            v = qv + sigma * rng.standard_normal(64)
+            s = sigs_of(v)
+            hams = [hamming(a, b) for a, b in zip(s, base)]
+            if all(h >= 1 for h in hams) and any(h <= 2 for h in hams):
+                extras.append(v)
+        if len(extras) >= 3:
+            break
+    assert len(extras) >= 3, "construction failed — adjust seed/sigma grid"
+
+    k = 5
+    rows = [(0, qv.tolist())] + [
+        (i, qv.tolist()) for i in range(1, k)
+    ] + [(100 + j, v.tolist()) for j, v in enumerate(extras[:3])]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ann_topk(
+        spark, e, ann_signatures(e), qv, k=k, exclude_id=0, probe_budget=1
+    ).collect()
+    assert len(out) == k  # pre-fix: k-1 (ladder skipped, query self-counted)
+    assert all(r["vec_id"] != 0 for r in out)
