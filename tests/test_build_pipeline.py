@@ -330,3 +330,44 @@ def test_spimi_flush_emits_multiple_partial_frames(index_cfg):
         for t in set(o.loc[o["term"] != "", "term"]):
             seen[(0, t)] = seen.get((0, t), 0) + 1
     assert max(seen.values()) > 1
+
+
+def test_spimi_flush_spills_docmap_accumulators(index_cfg):
+    """r4 verdict "What's wrong #4": the flush budget must bound the per-pid
+    docmap arrays too, not just the posting accumulators. A sub-MB budget
+    over a many-tiny-docs stream emits >1 pseudo (term="") docmap row per
+    pid, and the concatenated docmap is identical to the unflushed one
+    (doc ids keep ascending across flushes via rank_ctr)."""
+    import dataclasses
+
+    import numpy as np
+    import pandas as pd
+
+    from engine.build import _fused_spimi
+
+    def batches():
+        return [
+            pd.DataFrame(
+                {
+                    "url": [f"https://x.test/{i}/{j}" for j in range(50)],
+                    "pid": [0] * 50,
+                    "text": ["tok"] * 50,  # 1 token per doc: docmap-dominated
+                    "lang": ["en"] * 50,
+                }
+            )
+            for i in range(6)
+        ]
+
+    def pseudo(cfg):
+        outs = list(_fused_spimi(cfg, dedup=False)(iter(batches())))
+        rows = pd.concat(outs, ignore_index=True)
+        return rows[rows["term"] == ""].reset_index(drop=True)
+
+    pa = pseudo(index_cfg)  # no flush budget
+    pb = pseudo(dataclasses.replace(index_cfg, spimi_flush_mb=0.001))
+    assert len(pa) == 1
+    assert len(pb) > 1  # docmap spilled mid-stream
+    for col in ("doc_ids", "dls", "urls", "fps"):
+        ca = np.concatenate([np.asarray(x) for x in pa[col]])
+        cb = np.concatenate([np.asarray(x) for x in pb[col]])
+        assert ca.tolist() == cb.tolist(), col
