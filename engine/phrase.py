@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -112,25 +113,60 @@ def filtered_topk(
     predicate,
     k: int = 10,
     conjunctive: bool = False,
+    mode: str = "brute",
+    max_filter_ids: int = 4_000_000,
 ) -> DataFrame:
     """Facet-filtered BM25 top-k: the filter applies BEFORE the top-k cut
     (post-filtering a plain top-k under-fills or skews the result set —
     the classic filtered-search correctness trap). `predicate` is a Column
     over the corpus's attribute columns (e.g. F.col('lang') == 'en').
+    Scoring is ES/Lucene filter-context: corpus-level df/avgdl, the filter
+    changes the candidate set, never the scores. Both modes are exact.
 
-    Plan: score all matching docs (pruned-postings scan + vectorized brute
-    scorer), semi-join against the predicate-filtered corpus urls — the
-    predicate pushes down into the corpus parquet scan, and only (url)
-    strings of qualifying docs shuffle — then order+limit. Scale note: a
-    filter-aware WAND needs per-filter-value block maxima (or a doc-id
-    filter bitmap intersected during the shard sweep) to prune safely;
-    with the brute scorer the result is exact for any predicate.
+    mode="brute": score all matching docs (pruned-postings scan +
+    vectorized brute scorer), semi-join against the predicate-filtered
+    corpus urls — the predicate pushes down into the corpus parquet scan,
+    and only (url) strings of qualifying docs shuffle — then order+limit.
+
+    mode="wand" (round 5, B19 scale path): resolve the predicate to a
+    sorted doc-id array once, then run filter-aware block-max WAND — the
+    array rides the scoring closure and allowed-empty intervals are
+    skipped before any block decode, so pruning survives (and improves
+    under) selective filters. The resolved set is capped at
+    max_filter_ids (one bounded limit() probe); an unselective filter
+    beyond the cap — where pruning wouldn't pay anyway — falls back to
+    the brute plan. At 10^12 docs the capped path corresponds to shipping
+    a compressed id set/bitmap with the query; per-facet block maxima at
+    build time remain the declared design for dense pre-declared facets.
     Returns (doc_id, url, score) ordered by (score desc, url asc)."""
     handle = open_index(index) if isinstance(index, str) else index
     terms = list(dict.fromkeys(tokenize(query)))
-    scored = scored_docs(spark, handle, terms, conjunctive=conjunctive)
     docs = spark.read.parquet(handle.docs_path).select("doc_id", "url")
     keep_urls = corpus.filter(predicate).select("url")
+    if mode == "wand":
+        rows = (
+            docs.join(keep_urls, "url", "left_semi")
+            .select("doc_id")
+            .limit(max_filter_ids + 1)
+            .collect()
+        )
+        if len(rows) <= max_filter_ids:
+            if not rows:
+                return spark.createDataFrame(
+                    [], "doc_id long, url string, score double"
+                )
+            allowed = np.asarray(
+                sorted(int(r["doc_id"]) for r in rows), dtype=np.int64
+            )
+            from engine.query import query_topk
+
+            return query_topk(
+                spark, handle, query, k=k, mode="wand",
+                conjunctive=conjunctive, with_url=True, tiebreak="url",
+                doc_filter=allowed,
+            )
+        # unselective filter: fall through to the brute score-all plan
+    scored = scored_docs(spark, handle, terms, conjunctive=conjunctive)
     return (
         scored.join(docs, "doc_id")
         .join(keep_urls, "url", "left_semi")

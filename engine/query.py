@@ -150,7 +150,8 @@ def _brute_scorer(stats: dict, k1: float, b: float, avgdl: float):
 
 def _wand_shard_scorer(stats: dict, k1: float, b: float, avgdl: float, k: int,
                        conjunctive: bool, n_query_terms: int, range_size: int,
-                       floor: float | None = None):
+                       floor: float | None = None,
+                       allowed: np.ndarray | None = None):
     """Exact interval-sweep block-max WAND over one doc-range shard.
 
     floor mode (``floor`` set): instead of the top-k heap, return EVERY doc
@@ -158,6 +159,14 @@ def _wand_shard_scorer(stats: dict, k1: float, b: float, avgdl: float, k: int,
     the complete kth-score tie group when the heap path may have truncated
     it (block-max pruning still applies: intervals with UB < floor are
     skipped). Scores are bit-identical to heap mode (same kernel).
+
+    allowed mode (``allowed`` set, sorted int64 doc ids): facet-filtered
+    WAND (B19 scale path) — intervals containing no allowed doc are skipped
+    BEFORE any block decode (one vectorized searchsorted on the filter
+    array), and decoded postings are masked to the allowed set, so
+    block-max pruning survives filtering and a selective filter prunes
+    MORE, not less. Exact: it scores a subset of docs with unchanged
+    corpus-level stats (ES filter-context semantics).
 
     A block overlapping several doc-range shards is replicated to each (the
     explode in query_topk), so every shard sees every block covering its own
@@ -221,6 +230,15 @@ def _wand_shard_scorer(stats: dict, k1: float, b: float, avgdl: float, k: int,
         if conjunctive:
             valid = covered == len(terms)
             ub = np.where(valid, ub, 0.0)
+        if allowed is not None:
+            # filter-aware pruning: an interval with no allowed doc can
+            # never contribute — zero its UB so the sweep skips it without
+            # decoding any of its blocks (one vectorized searchsorted)
+            has_allowed = (
+                np.searchsorted(allowed, hi, side="left")
+                > np.searchsorted(allowed, lo, side="left")
+            )
+            ub = np.where(has_allowed, ub, 0.0)
         order = np.argsort(-ub, kind="stable")
         heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
         flo_ids: list[np.ndarray] = []
@@ -250,10 +268,24 @@ def _wand_shard_scorer(stats: dict, k1: float, b: float, avgdl: float, k: int,
                 z = int(np.searchsorted(ids, hi[ii], side="left"))
                 if a == z:
                     continue
-                ids_parts.append(ids[a:z])
-                con_parts.append(
-                    stats[t]["idf"] * bm25_tf_norm(tfs[a:z], dls[a:z], k1, b, avgdl)
+                sub_ids = ids[a:z]
+                sub_con = (
+                    stats[t]["idf"]
+                    * bm25_tf_norm(tfs[a:z], dls[a:z], k1, b, avgdl)
                 )
+                if allowed is not None:
+                    seg_a = np.searchsorted(allowed, lo[ii], side="left")
+                    seg_z = np.searchsorted(allowed, hi[ii], side="left")
+                    seg = allowed[seg_a:seg_z]
+                    idx = np.minimum(
+                        np.searchsorted(seg, sub_ids), len(seg) - 1
+                    )
+                    m = seg[idx] == sub_ids
+                    if not m.any():
+                        continue
+                    sub_ids, sub_con = sub_ids[m], sub_con[m]
+                ids_parts.append(sub_ids)
+                con_parts.append(sub_con)
             if not ids_parts:
                 continue
             # intervals partition the doc-id space → each doc lands in
@@ -346,6 +378,7 @@ def query_topk(
     with_url: bool = True,
     tiebreak: str = "doc_id",
     shard_target: int | None = None,
+    doc_filter: np.ndarray | None = None,
 ) -> DataFrame:
     """Top-k BM25. Returns (doc_id, url?, score) ordered by
     (score desc, doc_id asc) — the golden tie-break (SURVEY.md §5.2).
@@ -354,8 +387,15 @@ def query_topk(
     shard_target overrides WAND_SHARD_TARGET (postings per WAND shard) —
     the scorer is exact for any doc-range partitioning, so this only moves
     the fan-out/latency trade-off; the bench uses it to exercise the
-    multi-shard path at small corpus sizes."""
+    multi-shard path at small corpus sizes.
+    doc_filter (mode="wand" only): sorted int64 array of allowed doc ids —
+    filter-aware WAND (B19): the set rides the scoring closure, the top-k
+    is cut over allowed docs only, and allowed-empty intervals are skipped
+    before any block decode (engine.phrase.filtered_topk resolves a facet
+    predicate to this array and is the intended entry point)."""
     handle = open_index(index) if isinstance(index, str) else index
+    if doc_filter is not None and mode != "wand":
+        raise ValueError("doc_filter requires mode='wand'")
     terms = parse_query(query)
     if mode in ("local", "auto"):
         # the driver-local path needs pyarrow-readable index files; on a
@@ -391,6 +431,8 @@ def query_topk(
         ),
     )
     if not terms or (conjunctive and len(terms) < len(parse_query(query))):
+        return empty.drop(*([] if with_url else ["url"]))
+    if doc_filter is not None and len(doc_filter) == 0:
         return empty.drop(*([] if with_url else ["url"]))
     k1, b = handle.stats["k1"], handle.stats["b"]
     avgdl, n_docs = handle.stats["avgdl"], handle.stats["n_docs"]
@@ -429,7 +471,8 @@ def query_topk(
             # is unbounded: doc ids may exceed range_size × n_ranges when the
             # id buckets are skewed, and nothing may be clipped away here.
             scorer = _wand_shard_scorer(
-                st, k1, b, avgdl, k, conjunctive, len(terms), 1 << 62
+                st, k1, b, avgdl, k, conjunctive, len(terms), 1 << 62,
+                allowed=doc_filter,
             )
 
             def _single(batches):
@@ -444,7 +487,8 @@ def query_topk(
             )
         else:
             scorer = _wand_shard_scorer(
-                st, k1, b, avgdl, k, conjunctive, len(terms), width
+                st, k1, b, avgdl, k, conjunctive, len(terms), width,
+                allowed=doc_filter,
             )
             # a block overlapping multiple doc-range shards is replicated to
             # each; the shuffle payload is ≤ blocks × spanned shards rows
@@ -481,6 +525,7 @@ def query_topk(
                     fscorer = _wand_shard_scorer(
                         st, k1, b, avgdl, k, conjunctive, len(terms),
                         (1 << 62) if n_groups == 1 else width, floor=s_k,
+                        allowed=doc_filter,
                     )
                     if n_groups == 1:
                         def _single_f(batches):
