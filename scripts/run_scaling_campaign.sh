@@ -27,13 +27,16 @@ for i in $(seq 1 "$MAX_PAIRS"); do
     break
   fi
   echo "=== pair $i/$MAX_PAIRS $(date -u +%H:%M:%S) load=$(cut -d' ' -f1 /proc/loadavg) ==="
-  if [ -f BENCH/r4_started ]; then
+  # resume iff the accumulated json itself exists (ADVICE r4: keying on a
+  # separate marker file crashes every iteration if the json was moved, and
+  # deleting the marker silently overwrote the accumulated campaign)
+  if [ -f BENCH/scaling_runs.json ]; then
     BENCH_SCALING_RESUME=BENCH/scaling_runs.json BENCH_SCALING_SKIP_REF=1 \
       python scripts/bench_scaling.py
   else
-    # first pair starts the round-4 file fresh (round-3 data preserved in
-    # BENCH/scaling_runs_5M_r3.json) and includes the one local[32] ref run
-    python scripts/bench_scaling.py && touch BENCH/r4_started
+    # fresh start: archive any stray prior artifact, include the one
+    # local[32] reference run
+    python scripts/bench_scaling.py
   fi
 done
 echo "campaign done $(date -u +%H:%M:%S)"
