@@ -23,10 +23,13 @@ positional postings:
 Scale notes (100 TB): every stage is distributed — the verification cost is
 O(candidate text volume), which for stopword-grade phrases ("the data") is
 the known worst case of verification-based phrase search; the standard
-escape hatch is positional postings (next-word indexes / term-pair
-posting lists), which would slot in as an additional index artifact without
-changing this API. The candidate semi-join pushes the url filter into the
-corpus scan, so only candidate rows' html/text bytes move.
+escape hatch — positional postings — is BUILT as of round 5
+(`engine/positional.py`: a separate `positions/` artifact + a
+`phrase_topk_positional` that verifies adjacency from index blocks alone,
+rank-identical to this module's verification path). This module remains
+the zero-extra-artifact path and the oracle for the positional one. The
+candidate semi-join pushes the url filter into the corpus scan, so only
+candidate rows' html/text bytes move.
 """
 
 from __future__ import annotations
