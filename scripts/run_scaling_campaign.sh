@@ -11,10 +11,17 @@
 # DEADLINE_EPOCH (unix seconds, optional): no new pair starts after this
 # instant — a hard stop so a detached campaign can never contend with the
 # end-of-round driver bench.
+# PROBE_MIN_EFF (optional, e.g. 0.85): before each pair, run the Spark-free
+# host probe (scripts/host_probe.py); if probe_eff is below the threshold the
+# host is asymmetrically contended (a pair would be depressed, not cancelled),
+# so sleep PROBE_RETRY_SEC and re-probe instead of burning a ~30-min pair.
+# Probe results gate SCHEDULING only — every pair that runs is reported.
 set -u
 cd "$(dirname "$0")/.."
 MAX_PAIRS=${MAX_PAIRS:-24}
 DEADLINE_EPOCH=${DEADLINE_EPOCH:-0}
+PROBE_MIN_EFF=${PROBE_MIN_EFF:-}
+PROBE_RETRY_SEC=${PROBE_RETRY_SEC:-300}
 export BENCH_SCALING_REPS=1
 
 for i in $(seq 1 "$MAX_PAIRS"); do
@@ -25,6 +32,16 @@ for i in $(seq 1 "$MAX_PAIRS"); do
   if [ "$DEADLINE_EPOCH" -gt 0 ] && [ "$(date -u +%s)" -ge "$DEADLINE_EPOCH" ]; then
     echo "DEADLINE_EPOCH reached — exiting after $((i-1)) pairs"
     break
+  fi
+  if [ -n "$PROBE_MIN_EFF" ]; then
+    probe_json=$(python scripts/host_probe.py)
+    echo "probe $(date -u +%H:%M:%S): $probe_json"
+    probe_ok=$(python -c "import json,sys; print(1 if json.loads(sys.argv[1])['probe_eff'] >= float(sys.argv[2]) else 0)" "$probe_json" "$PROBE_MIN_EFF")
+    if [ "$probe_ok" != "1" ]; then
+      echo "host contended (probe_eff < $PROBE_MIN_EFF) — sleeping ${PROBE_RETRY_SEC}s"
+      sleep "$PROBE_RETRY_SEC"
+      continue
+    fi
   fi
   echo "=== pair $i/$MAX_PAIRS $(date -u +%H:%M:%S) load=$(cut -d' ' -f1 /proc/loadavg) ==="
   # resume iff the accumulated json itself exists (ADVICE r4: keying on a
