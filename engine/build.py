@@ -374,10 +374,16 @@ def _fused_spimi(cfg: IndexConfig, dedup: bool):
     return fn
 
 
-def _salt_split(cfg: IndexConfig, range_size: int, hot_thr: int):
+def _salt_split(cfg: IndexConfig, range_size: int, hot_df: dict[str, int]):
     """Narrow map: split hot-term partials at doc-range boundaries so the
-    term shuffle is salted (B7). Hotness comes from the already-joined `df`
-    column (df ≥ hot_thr) — no separate collect job or broadcast set. Cold
+    term shuffle is salted (B7). Hotness comes from the closure-shipped
+    `hot_df` dict ({term: df}, only terms with df >= threshold): the hot set
+    is provably tiny (df >= N/n_doc_ranges bounds it to ~n_doc_ranges*avgdl
+    terms — thousands at any corpus size), so shipping it beats the previous
+    full-vocabulary `df` join, which forced the ENTIRE transit-encoded
+    partials payload through an extra exchange (guide §2.3/§2.4: the df
+    values ride a few KB of closure instead of re-shuffling the heavy rows;
+    cold groups recover df exactly as their own merged posting count). Cold
     rows (the vast majority of the vocabulary) pass through untouched:
     decoding and re-encoding a single-segment row is a byte identity, so
     skipping it changes nothing downstream and saves a full decode+encode
@@ -387,7 +393,14 @@ def _salt_split(cfg: IndexConfig, range_size: int, hot_thr: int):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            hot_row = pdf["df"].to_numpy(np.int64) >= hot_thr
+            if hot_df:
+                df_col = (
+                    pdf["term"].map(hot_df).fillna(0).to_numpy(np.int64)
+                )
+            else:
+                df_col = np.zeros(len(pdf), dtype=np.int64)
+            pdf = pdf.assign(df=df_col)
+            hot_row = df_col > 0
             cold = pdf.loc[~hot_row]
             if len(cold):
                 yield cold  # already salt_schema-shaped, salt=0
@@ -493,8 +506,12 @@ def _merge_compress(cfg: IndexConfig, n_docs: int, avgdl: float):
         starts = np.flatnonzero(pos_in_grp % bs == 0)
         ends = np.append(starts[1:], len(ids))
         blk_grp = gsorted[starts]
-        # per-group scoring inputs
+        # per-group scoring inputs: hot groups carry their true df from the
+        # closure-shipped hot set; cold groups (df=0 sentinel) recover it
+        # exactly as their own merged posting count (a cold term's single
+        # salt-0 group holds ALL its postings, one per containing doc)
         df_g = pdf["df"].to_numpy(np.int64)[grp_first_row]
+        df_g = np.where(df_g > 0, df_g, grp_counts)
         contrib = idf(n_docs, df_g)[gsorted] * bm25_tf_norm(
             tfs, dls, k1, b, avgdl
         )
@@ -723,13 +740,24 @@ def build_index(
         .agg(F.sum("n").alias("df"), F.sum("tf_sum").alias("cf"))
     ).persist()
 
-    # hotness is decided per row from the joined df column inside
-    # _salt_split — no driver collect of the hot-term set, no broadcast
     hot_thr = cfg.hot_threshold(n_docs)
     range_size = cfg.range_size(n_docs)
 
     # --- stage: salted merge + compress (B7/B8) -----------------------------
-    with_df = term_partials.join(terms.select("term", "df"), "term")
+    # The hot-term set (df >= max(min_hot_df, N/n_doc_ranges)) is bounded by
+    # ~n_doc_ranges * avgdl terms at ANY corpus size, so it is collected
+    # driver-side (<= a few thousand tiny rows) and shipped in the salt
+    # closure — replacing the previous full-vocabulary df JOIN, which forced
+    # the entire transit-encoded partials payload through an extra exchange
+    # (guide §2.3: ship a few KB of metadata instead of re-shuffling the
+    # heavy rows). Cold groups recover their df in the merge stage as their
+    # own posting count, which is exact (one posting per containing doc).
+    hot_df = {
+        r["term"]: int(r["df"])
+        for r in terms.filter(F.col("df") >= hot_thr)
+        .select("term", "df")
+        .collect()
+    }
     salt_schema = T.StructType(
         [
             T.StructField("pid", T.IntegerType()),
@@ -742,18 +770,49 @@ def build_index(
             T.StructField("dls_enc", T.BinaryType()),
         ]
     )
-    salted = with_df.select(
-        "pid", "term", F.lit(0).cast("int").alias("salt"), "df", "n",
-        "ids_enc", "tfs_enc", "dls_enc",
-    ).mapInPandas(_salt_split(cfg, range_size, hot_thr), schema=salt_schema)
+    # Only HOT rows cross the Python boundary: cold partials (the vast
+    # majority of the vocabulary) are a pure column-rename passthrough, so
+    # they stay in the JVM — no Arrow round-trip for ~95% of the payload
+    # (guide §4.1: pass only the rows/columns the function needs). The hot
+    # set is small enough for an isin predicate (thousands of terms max).
+    hot_terms = list(hot_df)
+    cold_salted = (
+        term_partials.filter(~F.col("term").isin(hot_terms))
+        .select(
+            "pid", "term", F.lit(0).cast("int").alias("salt"),
+            F.lit(0).cast("long").alias("df"), "n",
+            "ids_enc", "tfs_enc", "dls_enc",
+        )
+    )
+    hot_salted = (
+        term_partials.filter(F.col("term").isin(hot_terms))
+        .select(
+            "pid", "term", F.lit(0).cast("int").alias("salt"), "n",
+            "ids_enc", "tfs_enc", "dls_enc",
+        )
+        .mapInPandas(_salt_split(cfg, range_size, hot_df), schema=salt_schema)
+    )
+    salted = cold_salted.unionByName(hot_salted) if hot_terms else cold_salted
 
-    # repartition + sortWithinPartitions + streaming mapInPandas instead of
-    # groupBy().applyInPandas: same (term, salt) co-location and the same
-    # one shuffle, but each task compresses thousands of groups per Arrow
-    # batch in one vectorized pass (see _merge_compress docstring)
+    # ONE exchange for merge AND sink (guide §2.4): partition by the same
+    # term bucket the postings table is laid out by on disk, sort by (term,
+    # salt) within each bucket partition, and stream-merge — the write below
+    # then needs no second repartition of the compressed blocks. Same
+    # (term, salt) co-location as the previous repartition(term, salt), and
+    # each task still compresses thousands of groups per Arrow batch in one
+    # vectorized pass (see _merge_compress docstring). Within-bucket
+    # parallelism is governed by n_term_buckets (raise it at cluster scale).
     postings = (
-        salted.repartition(F.col("term"), F.col("salt"))
+        salted.withColumn(
+            "bucket",
+            (
+                F.crc32(F.encode(F.col("term"), "utf-8"))
+                % cfg.n_term_buckets
+            ).cast("int"),
+        )
+        .repartition(cfg.n_term_buckets, F.col("bucket"))
         .sortWithinPartitions("term", "salt")
+        .drop("bucket")
         .mapInPandas(_merge_compress(cfg, n_docs, avgdl), schema=POSTINGS_SCHEMA)
     )
 
@@ -770,38 +829,68 @@ def build_index(
 
     # --- sinks + atomic publish (B9/A15) ------------------------------------
     def writer(vdir: str) -> dict:
+        from concurrent.futures import ThreadPoolExecutor
+
         _t = time.time()
-        (
-            postings.repartition(cfg.n_term_buckets, F.col("bucket"))
-            .sortWithinPartitions("bucket", "term", "salt", "block_seq")
-            .write.partitionBy("bucket")
-            .mode("overwrite")
-            .parquet(os.path.join(vdir, "postings"))
-        )
-        phases["merge_compress_write"] = round(time.time() - _t, 3)
-        _t = time.time()
-        # per-write-task byte/block metrics (B15: doc/term/byte metrics):
-        # one row per term bucket = one written partition
-        (
-            spark.read.parquet(os.path.join(vdir, "postings"))
-            .groupBy("bucket")
-            .agg(
-                F.count("*").alias("n_blocks"),
-                F.sum("n").alias("n_postings"),
-                F.sum(
-                    F.octet_length("ids_enc")
-                    + F.octet_length("tfs_enc")
-                    + F.octet_length("dls_enc")
-                ).alias("encoded_bytes"),
+
+        def _postings_sink() -> None:
+            # already bucket-partitioned by the merge exchange: the local
+            # sort restores the exact on-disk row order (bucket, term, salt,
+            # block_seq) and satisfies partitionBy's required ordering, so
+            # no further exchange or writer-inserted sort is paid
+            (
+                postings.sortWithinPartitions(
+                    "bucket", "term", "salt", "block_seq"
+                )
+                .write.partitionBy("bucket")
+                .mode("overwrite")
+                .parquet(os.path.join(vdir, "postings"))
             )
-            .write.mode("overwrite")
-            .parquet(os.path.join(vdir, "bucket_metrics"))
-        )
-        terms.withColumn("idf", F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(vdir, "terms"))
-        docs.write.mode("overwrite").parquet(os.path.join(vdir, "docs"))
-        metrics.write.mode("overwrite").parquet(os.path.join(vdir, "metrics"))
+            phases["merge_compress_write"] = round(time.time() - _t, 3)
+            # per-write-task byte/block metrics (B15: doc/term/byte
+            # metrics): one row per term bucket = one written partition
+            (
+                spark.read.parquet(os.path.join(vdir, "postings"))
+                .groupBy("bucket")
+                .agg(
+                    F.count("*").alias("n_blocks"),
+                    F.sum("n").alias("n_postings"),
+                    F.sum(
+                        F.octet_length("ids_enc")
+                        + F.octet_length("tfs_enc")
+                        + F.octet_length("dls_enc")
+                    ).alias("encoded_bytes"),
+                )
+                .write.mode("overwrite")
+                .parquet(os.path.join(vdir, "bucket_metrics"))
+            )
+
+        def _terms_sink() -> None:
+            terms.withColumn(
+                "idf",
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                ),
+            ).write.mode("overwrite").parquet(os.path.join(vdir, "terms"))
+
+        def _docs_sink() -> None:
+            docs.write.mode("overwrite").parquet(os.path.join(vdir, "docs"))
+
+        def _metrics_sink() -> None:
+            metrics.write.mode("overwrite").parquet(os.path.join(vdir, "metrics"))
+
+        # the four sinks are independent jobs over already-persisted inputs:
+        # submit them from a small thread pool so the small aux writes
+        # back-fill executors idled by the postings write's task tail
+        # (guide §2.6 overlap independent jobs) instead of running serially
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = [
+                pool.submit(f)
+                for f in (_postings_sink, _terms_sink, _docs_sink, _metrics_sink)
+            ]
+            for fu in futs:
+                fu.result()
         phases["aux_writes"] = round(time.time() - _t, 3)
         stats = {
             "n_docs": n_docs,

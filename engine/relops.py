@@ -143,11 +143,16 @@ def join_broadcast_dims(spark, sf_dir):
        GROUP BY o.o_orderpriority""",
 )
 def join_smj_fact(spark, sf_dir):
-    # fact-fact shuffle join (sort-merge under AQE)
+    # fact-fact shuffle join. The SHUFFLE_HASH hint (guide §3.1) keeps the
+    # planner from broadcasting the column-pruned orders side: building and
+    # shipping a 1.5M-row hash relation is single-threaded driver work that
+    # measured slower (1.9 s) than the 32-way shuffled hash join (1.3 s);
+    # orders (the smaller side) is the per-partition build side, and no
+    # sort is paid on the 6M-row lineitem side.
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
     return (
-        o.join(li, o.o_orderkey == li.l_orderkey)
+        o.hint("shuffle_hash").join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderpriority")
         .agg(
             r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(

