@@ -261,17 +261,41 @@ def build_positions(
     range_size = int(handle.stats["range_size"])
     hot_thr = int(handle.stats["hot_threshold"])
 
-    docs = spark.read.parquet(handle.docs_path).select("doc_id", "url")
-    cols = ["url", "text"] + (["html"] if "html" in corpus.columns else [])
+    from engine.query import _docs_df
+
+    docs = _docs_df(spark, handle).select("doc_id", "url")
+    cols = ["url", "text"]
+    if "html" in corpus.columns:
+        # ship html only for rows whose extraction actually needs the
+        # fallback (text null) — same masking as the main build's scan;
+        # the html payload otherwise dominates the join + Arrow transfer
+        corpus = corpus.withColumn(
+            "html", F.when(F.col("text").isNull(), F.col("html"))
+        )
+        cols.append("html")
     joined = corpus.select(*cols).join(docs, "url")
+    # right-size the tokenize stage to the session's core count: the corpus
+    # often arrives over-partitioned (many tiny cached partitions) and the
+    # Arrow stage then pays per-task overhead instead of kernel time;
+    # coalesce only ever reduces, so an already-narrow input is untouched
+    joined = joined.coalesce(spark.sparkContext.defaultParallelism)
     partials = joined.mapInPandas(
         _tokenize_positions(), schema=POS_PARTIAL_SCHEMA
     )
-    terms = spark.read.parquet(handle.terms_path).select("term", "df")
-    salted = partials.join(terms, "term").select(
+    # hot set closure-shipped exactly like the main build (bounded by
+    # ~n_doc_ranges*avgdl terms): the salt is then a pure JVM column —
+    # no join touches the per-(term, doc) partials payload at all
+    hot_terms = [
+        r["term"]
+        for r in spark.read.parquet(handle.terms_path)
+        .filter(F.col("df") >= hot_thr)
+        .select("term")
+        .collect()
+    ]
+    salted = partials.select(
         "term",
         F.when(
-            F.col("df") >= hot_thr,
+            F.col("term").isin(hot_terms),
             (F.col("doc_id") / range_size + 1).cast("int"),
         )
         .otherwise(F.lit(0))
@@ -280,14 +304,24 @@ def build_positions(
         "n_pos",
         "pos_enc",
     )
+    # ONE exchange for block-cut AND sink (same fusion as the main build's
+    # merge stage): partition by the on-disk term bucket, cut blocks in
+    # (term, salt, doc) order inside each bucket partition, write without a
+    # second repartition of the position payload
     blocks = (
-        salted.repartition(F.col("term"), F.col("salt"))
+        salted.withColumn(
+            "bucket",
+            (F.crc32(F.encode(F.col("term"), "utf-8")) % n_buckets).cast(
+                "int"
+            ),
+        )
+        .repartition(n_buckets, F.col("bucket"))
         .sortWithinPartitions("term", "salt", "doc_id")
+        .drop("bucket")
         .mapInPandas(_block_cut(block_size, n_buckets), schema=POS_BLOCK_SCHEMA)
     )
     (
-        blocks.repartition(n_buckets, F.col("bucket"))
-        .sortWithinPartitions("bucket", "term", "salt", "block_seq")
+        blocks.sortWithinPartitions("bucket", "term", "salt", "block_seq")
         .write.partitionBy("bucket")
         .mode("overwrite")
         .parquet(out_dir)
@@ -406,9 +440,15 @@ def phrase_match_docs(
     buckets = sorted(
         {zlib.crc32(t.encode("utf-8")) % n_buckets for t in uniq}
     )
+    # memoized base scan with explicit schema (skips footer inference and
+    # directory re-listing per query; lazy plan only, data read per query)
+    pos_cache = handle.__dict__.setdefault("_pos_df_cache", {})
+    base = pos_cache.get(positions_dir)
+    if base is None:
+        base = spark.read.schema(POS_BLOCK_SCHEMA).parquet(positions_dir)
+        pos_cache[positions_dir] = base
     blocks = (
-        spark.read.parquet(positions_dir)
-        .filter(F.col("bucket").isin(buckets))
+        base.filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(uniq))
     )
     range_size = int(handle.stats["range_size"])
@@ -467,7 +507,9 @@ def phrase_topk_positional(
     if len(ordered) > 1:
         matched = phrase_match_docs(spark, handle, positions_dir, ordered)
         cand = cand.join(matched, "doc_id", "left_semi")
-    docs = spark.read.parquet(handle.docs_path).select("doc_id", "url")
+    from engine.query import _docs_df
+
+    docs = _docs_df(spark, handle).select("doc_id", "url")
     return (
         cand.join(docs, "doc_id")
         .select("doc_id", "url", "score")

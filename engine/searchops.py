@@ -223,25 +223,31 @@ def index_doc_lengths(spark, sf_dir):
 def index_postings_blocks(spark, sf_dir):
     """Decompressed postings must reproduce exact per-term posting counts and
     tf sums — verifies the delta/varint/FOR block codec at rest (B8)."""
+    import numpy as np
     import pandas as pd
 
     from engine.build import POSTINGS_SCHEMA  # noqa: F401
-    from engine.codec import decode
+    from engine.codec import decode_concat
 
     h = get_index(spark, sf_dir)
     posts = spark.read.parquet(h.postings_path)
 
     def dec(batches):
+        # batched block decode (one vectorized pass per Arrow batch) — the
+        # same decode_concat kernel the query path uses; replaces the last
+        # row-at-a-time Python loop in the engine (r5 verdict #3)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            terms, ns, tfs = [], [], []
-            for row in pdf.itertuples(index=False):
-                tf = decode(row.codec_tfs, row.tfs_enc, row.n)
-                terms.append(row.term)
-                ns.append(int(row.n))
-                tfs.append(int(tf.sum()))
-            yield pd.DataFrame({"term": terms, "n": ns, "sum_tf": tfs})
+            ns = pdf["n"].to_numpy(np.int64)
+            tfs = decode_concat(
+                pdf["codec_tfs"].tolist(), pdf["tfs_enc"].tolist(), ns.tolist()
+            ).astype(np.int64)
+            offs = np.concatenate(([0], np.cumsum(ns[:-1])))
+            sums = np.add.reduceat(tfs, offs)
+            yield pd.DataFrame(
+                {"term": pdf["term"], "n": ns, "sum_tf": sums}
+            )
 
     from pyspark.sql import types as T
 

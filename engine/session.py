@@ -109,6 +109,17 @@ def _warm_python_workers(spark: SparkSession) -> None:
             .mapInPandas(_touch, "id long")
             .write.format("noop").mode("overwrite").save()
         )
+        # also warm the grouped-map (applyInPandas) serializer + exchange
+        # codegen path, which the multi-shard WAND/phrase queries use —
+        # measured ~0.5 s of first-call JIT otherwise
+        from pyspark.sql import functions as _F
+
+        (
+            spark.range(n, numPartitions=4)
+            .groupBy((_F.col("id") % 4).alias("g"))
+            .applyInPandas(lambda pdf: pdf[["id"]], "id long")
+            .write.format("noop").mode("overwrite").save()
+        )
     except Exception:
         pass  # warm-up is best-effort; never block session creation
     spark._graft_warmed = True
