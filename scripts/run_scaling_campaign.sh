@@ -16,12 +16,18 @@
 # host is asymmetrically contended (a pair would be depressed, not cancelled),
 # so sleep PROBE_RETRY_SEC and re-probe instead of burning a ~30-min pair.
 # Probe results gate SCHEDULING only — every pair that runs is reported.
+# LOAD_MAX (optional, e.g. 1.5): additionally require the 1-minute load
+# average to be at or below this before starting a pair — r5 ADVICE: the
+# bandwidth probe does not catch CPU-timeshare contention that loadavg
+# reflects (pairs 12-13 of the r5 campaign passed the probe at load 3-4 and
+# dragged the medians). Same scheduling-only semantics as the probe gate.
 set -u
 cd "$(dirname "$0")/.."
 MAX_PAIRS=${MAX_PAIRS:-24}
 DEADLINE_EPOCH=${DEADLINE_EPOCH:-0}
 PROBE_MIN_EFF=${PROBE_MIN_EFF:-}
 PROBE_RETRY_SEC=${PROBE_RETRY_SEC:-300}
+LOAD_MAX=${LOAD_MAX:-}
 export BENCH_SCALING_REPS=1
 
 for i in $(seq 1 "$MAX_PAIRS"); do
@@ -32,6 +38,15 @@ for i in $(seq 1 "$MAX_PAIRS"); do
   if [ "$DEADLINE_EPOCH" -gt 0 ] && [ "$(date -u +%s)" -ge "$DEADLINE_EPOCH" ]; then
     echo "DEADLINE_EPOCH reached — exiting after $((i-1)) pairs"
     break
+  fi
+  if [ -n "$LOAD_MAX" ]; then
+    load1=$(cut -d' ' -f1 /proc/loadavg)
+    load_ok=$(python -c "import sys; print(1 if float(sys.argv[1]) <= float(sys.argv[2]) else 0)" "$load1" "$LOAD_MAX")
+    if [ "$load_ok" != "1" ]; then
+      echo "load $load1 > LOAD_MAX=$LOAD_MAX — sleeping ${PROBE_RETRY_SEC}s"
+      sleep "$PROBE_RETRY_SEC"
+      continue
+    fi
   fi
   if [ -n "$PROBE_MIN_EFF" ]; then
     probe_json=$(python scripts/host_probe.py)
