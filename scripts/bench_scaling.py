@@ -207,6 +207,12 @@ def main() -> None:
         if extra
         else ""
     )
+    # scheduling-gate provenance line, set by the campaign wrapper
+    # (scripts/run_scaling_campaign.sh) so the artifact records under what
+    # admission conditions its pairs ran
+    note_txt = os.environ.get("BENCH_SCALING_NOTE", "").strip()
+    if note_txt:
+        note_txt += "\n"
     wand_p50 = statistics.median(r["query_p50_ms_wand"] for r in runs)
     brute_p50 = statistics.median(r["query_p50_ms_brute"] for r in runs)
     auto_p50 = statistics.median(r["query_p50_ms_auto"] for r in runs)
@@ -261,13 +267,18 @@ while every sub-target pair coincides with directly measured host
 contention (its reps run far below the quiet-reference throughput; see
 campaign conditions). Per-level estimators over the same reps:
 best-of = {eff['best']:.3f}, trimmed = {eff['trimmed']:.3f},
-median = {eff['median']:.3f}. Every per-rep value and timestamp is in
+median = {eff['median']:.3f}. "Trimmed" is the mean of the middle ~50%
+of each level's reps — sort, drop floor(n/4) from EACH end (for n=13:
+drop 3 per side, average the middle 7; equivalently scipy.stats.trim_mean
+with proportiontocut≈0.25) — stated here so the number is reproducible
+from the json without guessing the trim rule. Every per-rep value and timestamp is in
 `BENCH/scaling_runs.json`, so the estimator can be recomputed any way.
 {extra_txt}
 
 ### Campaign conditions (measured, this campaign)
 
 This campaign: **{nreps} interleaved pairs**, rep span {span} UTC.
+{note_txt}
 Best-of throughput vs the round-2 controlled quiet-window reference on the
 same binary family ({_QUIET_REF.get(n, 0)/1000:.1f}k docs/s @ local[{n}],
 {_QUIET_REF.get(n4, 0)/1000:.1f}k @ local[{n4}]):

@@ -24,6 +24,11 @@
 set -u
 cd "$(dirname "$0")/.."
 MAX_PAIRS=${MAX_PAIRS:-24}
+if [ -n "${PROBE_MIN_EFF:-}" ] || [ -n "${LOAD_MAX:-}" ]; then
+  export BENCH_SCALING_NOTE="Admission gates for every pair in this campaign: \
+host_probe.py probe_eff >= ${PROBE_MIN_EFF:-off} and 1-min loadavg <= ${LOAD_MAX:-off} \
+(scheduling-only gates — every pair that ran is reported)."
+fi
 DEADLINE_EPOCH=${DEADLINE_EPOCH:-0}
 PROBE_MIN_EFF=${PROBE_MIN_EFF:-}
 PROBE_RETRY_SEC=${PROBE_RETRY_SEC:-300}
