@@ -155,7 +155,17 @@ def main() -> None:
         for i, v in sorted(by_rep.items())
         if n in v and n4 in v
     }
-    if pair_effs:
+    # A pair ratio > 1 is physically implausible (4 cores cannot beat 4x
+    # one core on this memory-bound dataflow) and can only mean contention
+    # hit the N rep alone — the exact inflation hazard the artifact's
+    # limitation note describes (r5 ADVICE #1). Such pairs are reported in
+    # the series but EXCLUDED from the official best/median estimators.
+    PAIR_SANITY_CAP = 1.05
+    sane_pairs = {i: v for i, v in pair_effs.items() if v <= PAIR_SANITY_CAP}
+    if sane_pairs:
+        eff["best_pair"] = max(sane_pairs.values())
+        eff["median_pair"] = statistics.median(sane_pairs.values())
+    elif pair_effs:  # every pair implausible — report raw, flagged below
         eff["best_pair"] = max(pair_effs.values())
         eff["median_pair"] = statistics.median(pair_effs.values())
     hashes = {r["index_content_hash"] for r in runs}
@@ -254,6 +264,10 @@ Official estimator — **best interleaved pair =
 {eff.get('best_pair', float('nan')):.3f}** (target ≥ 0.8); median pair =
 {eff.get('median_pair', float('nan')):.3f}; per-pair series
 {{{", ".join(f"rep {i}: {v:.3f}" for i, v in pair_effs.items())}}}.
+Pairs with ratio > 1.05 are physically implausible on this memory-bound
+dataflow (contention hit the N rep alone) and are excluded from the
+official best/median estimators above while remaining in the series:
+{{{", ".join(f"rep {i}: {v:.3f}" for i, v in pair_effs.items() if v > 1.05) or "none excluded"}}}.
 Each interleaved pair shares one ~17-minute window, so slow host drift
 hits both of its levels near-symmetrically and cancels in the ratio;
 under the additive-noise model the max over pairs is then the consistent
